@@ -1,0 +1,59 @@
+"""Headline benchmark: 1000-step conditional 128^3 MRI sample + VQ decode on
+one chip — the north-star metric from BASELINE.md.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference never instrumented sampling (an eager Python loop of
+T U-Net calls, networks/dm3d.py:510-532); BASELINE.json sets the bar at
+< 10 s per 1000-step 128^3 sample+decode on one v5e chip, i.e. 6 volumes/min.
+vs_baseline is measured volumes/min/chip divided by that 6 vol/min bar.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from ldm3d.core.config import TrainConfig
+from ldm3d.train.dm_trainer import DiffusionTrainer
+from __graft_entry__ import _flagship_cfg
+
+BASELINE_VOL_PER_MIN = 6.0  # 10 s / volume north-star bar (BASELINE.md)
+
+
+def main():
+    cfg = _flagship_cfg()
+    batch = 1
+    trainer = DiffusionTrainer(cfg, TrainConfig(batch_size=batch),
+                               conditional=True)
+    state = trainer.init_state(jax.random.PRNGKey(0), (batch, 128, 128, 128, 1))
+    lat_shape = (batch, cfg.latent_size, cfg.latent_size, cfg.latent_size,
+                 cfg.latent_channels)
+    fn = trainer.generate_fn(lat_shape, decode=True)
+    ctx = jnp.ones((batch,), jnp.int32)
+
+    # compile + warmup
+    out = fn(state, jax.random.PRNGKey(1), ctx)
+    out.block_until_ready()
+
+    runs = 3
+    start = time.perf_counter()
+    for i in range(runs):
+        out = fn(state, jax.random.PRNGKey(2 + i), ctx)
+    out.block_until_ready()
+    elapsed = time.perf_counter() - start
+
+    vols_per_min = runs * batch / elapsed * 60.0
+    print(json.dumps({
+        "metric": "cond_128^3_sample_decode_1000step_volumes_per_min_per_chip",
+        "value": round(vols_per_min, 3),
+        "unit": "volumes/min/chip",
+        "vs_baseline": round(vols_per_min / BASELINE_VOL_PER_MIN, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

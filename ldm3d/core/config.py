@@ -1,0 +1,213 @@
+"""Typed configuration tree for the TPU-native 3D latent-diffusion framework.
+
+Replaces the reference's per-entry-point argparse duplication and hard-coded
+hyper-parameters at call sites (reference: main.py:451-503, main.py:187-212,
+main_exp_vqgan_attn.py:280-335, networks/dm3d.py:386-426) with one typed,
+hashable config tree plus a named preset registry (`ldm3d.core.presets`).
+
+Everything here is a frozen dataclass so configs can be closed over by
+`jax.jit`-traced functions and used as static arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class QuantizerConfig:
+    """Config covering all five codebook-learning strategies of the reference.
+
+    kind:
+      - "ste":   straight-through VQ, commitment beta + codebook loss
+                 (reference: networks/vqvae3d_monai.py:112-215)
+      - "ema":   VideoGPT-style EMA with data-dependent init + random restart
+                 (reference: networks/vqgan_attn_cp.py:140-248)
+      - "ema_sonnet": Sonnet-style EMA, Laplace smoothing, commitment cost
+                 (reference: networks/emavqvae.py:170-243)
+      - "nsvq":  noise-substitution VQ (reference: networks/nsvqvae.py:117-230)
+      - "rnsvq": residual multi-stage NSVQ (reference: networks/rnsvqvae.py:54-190)
+    """
+
+    kind: str = "ste"
+    num_embeddings: int = 512
+    embedding_dim: int = 256
+    beta: float = 0.25                 # commitment weight (ste / ema)
+    ema_decay: float = 0.99
+    ema_epsilon: float = 1e-7          # Laplace smoothing epsilon
+    commitment_cost: float = 6.0       # sonnet-style commitment weight
+    restart_thres: float = 1.0         # EMA random-restart usage threshold
+    no_random_restart: bool = False
+    discarding_threshold: float = 0.05 # unused-code replacement threshold
+    num_stages: int = 4                # rnsvq residual stages
+    quantize_loss_weight: float = 1.0  # nsvq trainers use alpha=1e2 (nsvqvae.py:432)
+
+
+@dataclass(frozen=True)
+class VQVAEConfig:
+    """MONAI-style 3D VQ-VAE (reference: networks/vqvae3d_monai.py:218-547).
+
+    downsample/upsample parameters mirror the reference tuple convention
+    (stride, kernel, dilation, padding) / (stride, kernel, dilation, padding,
+    output_padding), reference vqvae3d_monai.py:396-399.
+    """
+
+    in_channels: int = 2
+    out_channels: int = 2
+    num_channels: Tuple[int, ...] = (32, 64, 128)
+    num_res_channels: Tuple[int, ...] = (32, 64, 128)
+    num_res_layers: int = 3
+    downsample_stride: Tuple[int, ...] = (2, 2, 2)
+    downsample_kernel: Tuple[int, ...] = (4, 4, 4)
+    upsample_stride: Tuple[int, ...] = (2, 2, 2)
+    upsample_kernel: Tuple[int, ...] = (4, 4, 4)
+    dropout: float = 0.0
+    kernel_resize: bool = False        # ICNR checkerboard-free transpose init
+    norm: str = "batch"                # "batch" | "group" (vqgan_attn_cp uses group)
+    act: str = "relu"
+    output_act: Optional[str] = None
+    quantizer: QuantizerConfig = field(default_factory=QuantizerConfig)
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.num_channels)
+
+    @property
+    def spatial_factor(self) -> int:
+        f = 1
+        for s in self.downsample_stride:
+            f *= s
+        return f
+
+
+@dataclass(frozen=True)
+class DiscriminatorConfig:
+    """PatchGAN 2D/3D discriminators (reference: vqgan_attn_cp.py:430-566)."""
+
+    num_channels: Tuple[int, ...] = (32, 64, 128)
+    use_sigmoid: bool = False
+    get_interm_feat: bool = True
+
+
+@dataclass(frozen=True)
+class VQGANConfig:
+    """VQ-GAN = autoencoder + dual discriminators + LPIPS
+    (reference: networks/vqgan_attn_cp.py:569-906)."""
+
+    ae: VQVAEConfig = field(default_factory=lambda: VQVAEConfig(
+        norm="group", act="silu",
+        quantizer=QuantizerConfig(kind="ema")))
+    disc: DiscriminatorConfig = field(default_factory=DiscriminatorConfig)
+    disc_threshold: int = 40           # epochs before discriminator kicks in
+    disc_loss_fn: str = "vanilla"      # "vanilla" | "hinge"
+    disc_wt: float = 0.8
+    lpips_wt: float = 4.0
+    gan_feat_wt: float = 4.0
+    g_loss_adv_wt: float = 1.0
+    recon_loss: str = "l1"             # attn_cp uses L1 (vqgan_attn_cp.py:714)
+    frame_idx_range: Tuple[int, int] = (30, 120)  # random 2D frame slice range
+    lpips_image_size: int = 128
+
+
+@dataclass(frozen=True)
+class UNetConfig:
+    """3D diffusion U-Net (reference: networks/dm3d.py:294-376 and
+    networks/conditional_dm3d.py:324-415)."""
+
+    widths: Tuple[int, ...] = (64, 128, 256)
+    has_attention: Tuple[bool, ...] = (False, False, True, True)
+    num_res_blocks: int = 2
+    norm_groups: int = 8
+    first_conv_channels: int = 64      # conditional variant uses 32
+    context_dim: Optional[int] = None  # None => unconditional
+    context_embed_dim: int = 128       # Embedding(context_dim+1, 4*first_conv)
+    num_heads: int = 1
+    norm: str = "batch"
+    attention_impl: str = "auto"       # "auto" | "xla" | "pallas"
+
+
+@dataclass(frozen=True)
+class DiffusionConfig:
+    """DDPM schedule + trainer (reference: networks/dm3d.py:194-214,379-545)."""
+
+    timesteps: int = 300
+    beta_start: float = 1e-4
+    beta_end: float = 0.02
+    latent_size: int = 8
+    latent_channels: int = 256
+    unet: UNetConfig = field(default_factory=UNetConfig)
+    # frozen stage-1 autoencoder config (reference builds a 4-level VQVAE
+    # inline at dm3d.py:386-409: K=1024, D=256, 1-channel)
+    vqvae: VQVAEConfig = field(default_factory=lambda: VQVAEConfig(
+        in_channels=1, out_channels=1,
+        num_channels=(32, 64, 128, 256), num_res_channels=(32, 64, 128, 256),
+        num_res_layers=5,
+        downsample_stride=(2, 2, 2, 2), downsample_kernel=(4, 4, 4, 4),
+        upsample_stride=(2, 2, 2, 2), upsample_kernel=(4, 4, 4, 4),
+        quantizer=QuantizerConfig(kind="ste", num_embeddings=1024,
+                                  embedding_dim=256)))
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh topology. DP over 'data', spatial sharding over 'space'
+    (TPU-native replacement for tf.distribute.MirroredStrategy, main.py:81)."""
+
+    data: int = -1                     # -1 => all devices
+    space: int = 1
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 8                # global batch size
+    learning_rate: float = 1e-4
+    disc_learning_rate: float = 1e-4
+    adam_b1: float = 0.9               # vqgan attn uses (0.5, 0.9)
+    adam_b2: float = 0.999
+    epochs: int = 200
+    val_fraction: float = 0.1
+    seed: int = 0
+    dtype: str = "bfloat16"            # compute dtype; params stay float32
+    replace_codebook_freq: int = 10    # epochs between unused-code replacement
+    checkpoint_every: int = 1
+    keep_checkpoints: int = 5
+    log_every: int = 10
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    remat: bool = False                # jax.checkpoint the encoder/decoder
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """NIfTI ingest + preprocessed cache (reference: dataset_utils.py)."""
+
+    dataset: str = "all"               # CC | NFBS | HCP | BraTS | all | all-T
+    dataset_dir: str = "/data/mri"
+    cache_dir: str = "./cache"
+    volume_size: int = 128
+    augment: bool = False
+    augment_fraction: float = 0.04
+    flip_chance: float = 0.6           # probability of KEEPING the original
+    brightness_range: Tuple[float, float] = (0.9, 1.1)
+    contrast_range: Tuple[float, float] = (0.9, 1.1)
+    test_run: bool = False             # truncate to 24 files (dataset_utils.py:78-80)
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    """Top-level config: one experiment == one reference entry-point run."""
+
+    name: str = "default"
+    model: str = "vqvae"               # vqvae | vqgan | dm | conditional_dm | nsvqvae | rnsvqvae | emavqvae
+    vqvae: VQVAEConfig = field(default_factory=VQVAEConfig)
+    vqgan: VQGANConfig = field(default_factory=VQGANConfig)
+    diffusion: DiffusionConfig = field(default_factory=DiffusionConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    ckpt_dir: str = "./checkpoints"
+
+
+def replace(cfg, **kwargs):
+    """dataclasses.replace that works through our frozen tree."""
+    return dataclasses.replace(cfg, **kwargs)

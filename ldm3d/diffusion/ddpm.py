@@ -1,0 +1,84 @@
+"""DDPM training loss and the fused reverse-diffusion sampler.
+
+The reference samples with an eager Python loop of T sequential U-Net calls,
+one host->device dispatch each (networks/dm3d.py:510-532) — the "north-star"
+inefficiency called out in SURVEY.md §3.3. Here the entire T-step reverse
+process is a single `lax.scan` inside one jitted XLA program, optionally
+fused with the VQ decoder, so a full sample+decode involves zero host
+round-trips.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ldm3d.diffusion.schedule import Schedule, posterior, q_sample
+
+
+def diffusion_train_loss(sched: Schedule, latents: jax.Array,
+                         pred_noise_fn: Callable, rng: jax.Array,
+                         global_batch: int,
+                         loss_scaling: str = "reference") -> jax.Array:
+    """Draw t and noise, diffuse, predict, and compute the loss.
+
+    `loss_scaling="reference"` mirrors dm3d.py:456-459: SUM-reduction MSE
+    divided by (global_bs * latent_channels^4), so loss curves are directly
+    comparable with the reference logs; "mean" is the sane default MSE.
+    """
+    t_rng, n_rng = jax.random.split(rng)
+    b = latents.shape[0]
+    t = jax.random.randint(t_rng, (b,), 0, sched.timesteps)
+    noise = jax.random.normal(n_rng, latents.shape, latents.dtype)
+    noisy = q_sample(sched, latents, t, noise)
+    pred = pred_noise_fn(noisy, t)
+    err = jnp.square(noise.astype(jnp.float32) - pred.astype(jnp.float32))
+    if loss_scaling == "reference":
+        lc = latents.shape[-1]
+        return jnp.sum(err) / (global_batch * float(lc) ** 4)
+    return jnp.mean(err)
+
+
+def ddpm_sample_step(sched: Schedule, x: jax.Array, pred_noise: jax.Array,
+                     t: jax.Array, noise: jax.Array,
+                     clip_mean: bool = True) -> jax.Array:
+    """One reverse step (reference dm3d.py:527-530): posterior mean clipped
+    to [-1, 1], plus sqrt(var) * noise (noise pre-zeroed at t == 0)."""
+    mean, var = posterior(sched, x, pred_noise, t)
+    if clip_mean:
+        mean = jnp.clip(mean, -1.0, 1.0)
+    std = jnp.exp(0.5 * jnp.log(jnp.maximum(var, 1e-20)))
+    return mean + std * noise
+
+
+def sample_latents(sched: Schedule, denoise_fn: Callable, shape, rng,
+                   last_step: int = 0, clip_mean: bool = True,
+                   dtype=jnp.float32) -> jax.Array:
+    """Full reverse process as one `lax.scan` (replaces dm3d.py:510-532).
+
+    Args:
+      denoise_fn: (x [B,...], t [B] int32) -> predicted noise. Context
+        conditioning is closed over by the caller.
+      shape: latent shape (B, h, w, d, C).
+      last_step: stop timestep (reference `last_step`).
+    """
+    init_rng, loop_rng = jax.random.split(rng)
+    x0 = jax.random.normal(init_rng, shape, dtype)
+    b = shape[0]
+    ts = jnp.arange(sched.timesteps - 1, last_step - 1, -1)
+
+    def step(carry, t):
+        x, rng = carry
+        rng, sub = jax.random.split(rng)
+        t_batch = jnp.full((b,), t, jnp.int32)
+        eps = denoise_fn(x, t_batch).astype(jnp.float32)
+        noise = jax.random.normal(sub, shape, jnp.float32)
+        noise = jnp.where(t > 0, noise, jnp.zeros_like(noise))
+        x = ddpm_sample_step(sched, x.astype(jnp.float32), eps, t_batch,
+                             noise, clip_mean).astype(dtype)
+        return (x, rng), None
+
+    (x, _), _ = jax.lax.scan(step, (x0, loop_rng), ts)
+    return x

@@ -1,0 +1,219 @@
+"""VQ-GAN family: GroupNorm/SiLU autoencoder + dual PatchGAN discriminators.
+
+Parity target is the actively-run variant `vqgan_attn_cp`
+(reference networks/vqgan_attn_cp.py, selected by main_exp_vqgan_attn.py:12):
+  - pre-norm SiLU residual units with GroupNorm(min(C,32), eps 1e-6)
+    (reference :250-277)
+  - encoder: k3-s1 stem, then per level k4-s2 down conv + 1 residual unit,
+    head GroupNorm + SiLU + 1x1 conv to embedding_dim (reference :279-336)
+  - decoder: 1x1 stem + GroupNorm + SiLU, per level k4-s2 transpose conv +
+    2 residual units, final k3-s1 conv (reference :339-427)
+  - PatchGAN Discriminator3D/2D: k4-s2 conv ladder with BatchNorm +
+    LeakyReLU(0.2), conv(ch,4,s1) tail, conv(1,4,s1) head, optional sigmoid,
+    returning intermediate features for feature matching (reference :430-566)
+  - EMA quantizer between encoder and decoder (ldm3d/models/quantizers.py)
+
+GAN losses (hinge_d_loss / vanilla_d_loss, reference vqgan.py:38-47) live
+here; the two-optimizer train step is in ldm3d/train/gan_trainer.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ldm3d.core.config import DiscriminatorConfig, VQGANConfig, VQVAEConfig
+from ldm3d.models.layers import Norm, conv3d, conv3d_transpose
+from ldm3d.models.quantizers import QuantAux, make_quantizer
+
+
+class GNResidualUnit(nn.Module):
+    """Pre-norm SiLU residual unit (reference vqgan_attn_cp.py:250-277)."""
+
+    channels: int
+    res_channels: int
+    dropout: float = 0.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = True) -> jax.Array:
+        h = Norm("group", dtype=self.dtype, name="norm1")(x, training)
+        h = jax.nn.silu(h)
+        h = conv3d(self.res_channels, 3, dtype=self.dtype, name="conv1")(h)
+        if self.dropout:
+            h = nn.Dropout(self.dropout, deterministic=not training)(h)
+        h = Norm("group", dtype=self.dtype, name="norm2")(h, training)
+        h = jax.nn.silu(h)
+        h = conv3d(self.channels, 3, dtype=self.dtype, name="conv2")(h)
+        return x + h
+
+
+class VQGANEncoder(nn.Module):
+    """reference vqgan_attn_cp.py:279-336."""
+
+    cfg: VQVAEConfig
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = True) -> jax.Array:
+        cfg = self.cfg
+        for i, ch in enumerate(cfg.num_channels):
+            if i == 0:
+                x = conv3d(ch, 3, stride=1, dtype=self.dtype,
+                           name=f"stem")(x)
+            else:
+                x = conv3d(ch, 4, stride=2, dtype=self.dtype,
+                           name=f"down_{i}")(x)
+                x = GNResidualUnit(ch, cfg.num_res_channels[i],
+                                   dtype=self.dtype, name=f"res_{i}")(
+                                       x, training)
+        x = Norm("group", dtype=self.dtype, name="head_norm")(x, training)
+        x = jax.nn.silu(x)
+        return conv3d(cfg.quantizer.embedding_dim, 1, dtype=self.dtype,
+                      name="to_latent")(x)
+
+
+class VQGANDecoder(nn.Module):
+    """reference vqgan_attn_cp.py:339-427."""
+
+    cfg: VQVAEConfig
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = True) -> jax.Array:
+        cfg = self.cfg
+        rev = list(reversed(cfg.num_channels)) + [cfg.out_channels]
+        x = conv3d(rev[0], 1, dtype=self.dtype, name="stem")(x)
+        x = Norm("group", dtype=self.dtype, name="stem_norm")(x, training)
+        x = jax.nn.silu(x)
+        for i in range(1, len(rev)):
+            if i == len(rev) - 1:
+                x = conv3d(cfg.out_channels, 3, dtype=self.dtype,
+                           name="head")(x)
+            else:
+                x = conv3d_transpose(rev[i], 4, stride=2, dtype=self.dtype,
+                                     kernel_resize=cfg.kernel_resize,
+                                     name=f"up_{i}")(x)
+                x = GNResidualUnit(rev[i], rev[i], dtype=self.dtype,
+                                   name=f"res_{i}_1")(x, training)
+                x = GNResidualUnit(rev[i], rev[i], dtype=self.dtype,
+                                   name=f"res_{i}_2")(x, training)
+        return x
+
+
+class Discriminator3D(nn.Module):
+    """PatchGAN over volumes (reference vqgan_attn_cp.py:430-497)."""
+
+    cfg: DiscriminatorConfig
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = True
+                 ) -> Tuple[jax.Array, List[jax.Array]]:
+        feats = []
+        for i, ch in enumerate(self.cfg.num_channels):
+            x = conv3d(ch, 4, stride=2, dtype=self.dtype,
+                       name=f"down_{i}")(x)
+            if i > 0:
+                x = Norm("batch", dtype=self.dtype,
+                         name=f"norm_{i}")(x, training)
+            x = jax.nn.leaky_relu(x, 0.2)
+            feats.append(x)
+        x = conv3d(self.cfg.num_channels[-1], 4, stride=1, dtype=self.dtype,
+                   name="tail")(x)
+        x = Norm("batch", dtype=self.dtype, name="tail_norm")(x, training)
+        x = jax.nn.leaky_relu(x, 0.2)
+        feats.append(x)
+        logits = conv3d(1, 4, stride=1, dtype=self.dtype, name="head")(x)
+        if self.cfg.use_sigmoid:
+            logits = jax.nn.sigmoid(logits)
+        feats.append(logits)
+        return logits, (feats if self.cfg.get_interm_feat else [])
+
+
+class Discriminator2D(nn.Module):
+    """PatchGAN over 2D frames (reference vqgan_attn_cp.py:499-566)."""
+
+    cfg: DiscriminatorConfig
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = True
+                 ) -> Tuple[jax.Array, List[jax.Array]]:
+        feats = []
+        for i, ch in enumerate(self.cfg.num_channels):
+            x = nn.Conv(ch, (4, 4), strides=(2, 2), padding="SAME",
+                        dtype=self.dtype, name=f"down_{i}")(x)
+            if i > 0:
+                x = Norm("batch", dtype=self.dtype,
+                         name=f"norm_{i}")(x, training)
+            x = jax.nn.leaky_relu(x, 0.2)
+            feats.append(x)
+        x = nn.Conv(self.cfg.num_channels[-1], (4, 4), padding="SAME",
+                    dtype=self.dtype, name="tail")(x)
+        x = Norm("batch", dtype=self.dtype, name="tail_norm")(x, training)
+        x = jax.nn.leaky_relu(x, 0.2)
+        feats.append(x)
+        logits = nn.Conv(1, (4, 4), padding="SAME", dtype=self.dtype,
+                         name="head")(x)
+        if self.cfg.use_sigmoid:
+            logits = jax.nn.sigmoid(logits)
+        feats.append(logits)
+        return logits, (feats if self.cfg.get_interm_feat else [])
+
+
+class VQGANAutoencoder(nn.Module):
+    """Encoder -> EMA quantizer -> decoder (generator side)."""
+
+    cfg: VQVAEConfig
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        self.encoder = VQGANEncoder(self.cfg, dtype=self.dtype)
+        self.decoder = VQGANDecoder(self.cfg, dtype=self.dtype)
+        self.quantizer = make_quantizer(self.cfg.quantizer)
+
+    def __call__(self, x: jax.Array,
+                 training: bool = True) -> Tuple[jax.Array, QuantAux]:
+        z = self.encoder(x, training)
+        q, aux = self.quantizer(z, training)
+        return self.decoder(q, training), aux
+
+    def encode_quantize(self, x, training: bool = False):
+        return self.quantizer(self.encoder(x, training), training)
+
+    def decode(self, z, training: bool = False):
+        return self.decoder(z, training)
+
+
+# -- GAN losses (reference vqgan.py:38-47) ---------------------------------
+
+
+def hinge_d_loss(target_ones: bool, logits: jax.Array) -> jax.Array:
+    if target_ones:   # real
+        return jnp.mean(jax.nn.relu(1.0 - logits))
+    return jnp.mean(jax.nn.relu(1.0 + logits))
+
+
+def vanilla_d_loss(target_ones: bool, logits: jax.Array) -> jax.Array:
+    labels = jnp.ones_like(logits) if target_ones else jnp.zeros_like(logits)
+    return jnp.mean(optax_sigmoid_ce(logits, labels))
+
+
+def optax_sigmoid_ce(logits, labels):
+    # stable sigmoid cross-entropy (tf.nn.sigmoid_cross_entropy_with_logits)
+    zeros = jnp.zeros_like(logits)
+    cond = logits >= zeros
+    relu_logits = jnp.where(cond, logits, zeros)
+    neg_abs = jnp.where(cond, -logits, logits)
+    return relu_logits - logits * labels + jnp.log1p(jnp.exp(neg_abs))
+
+
+def adopt_weight(weight: float, epoch: jax.Array,
+                 threshold: int) -> jax.Array:
+    """Zero the adversarial weight before `threshold` epochs
+    (reference vqgan.py:32-35 + epoch_counter gating :718-720)."""
+    return jnp.where(epoch >= threshold, weight, 0.0)

@@ -1,0 +1,145 @@
+"""MONAI-style 3D VQ-VAE — the stage-1 workhorse autoencoder.
+
+Architecture parity with reference networks/vqvae3d_monai.py:218-547:
+  - Encoder: per level Conv3D(stride 2, k 4, 'same') + ReLU + N residual
+    units, final Conv3D(embedding_dim, 3) + PReLU (reference :237-306).
+  - Residual unit: Conv3D(res_ch,3)+act -> Conv3D(in_ch,3)+BN+PReLU, ReLU on
+    the skip sum (reference :218-234).
+  - Decoder: stem Conv3D(3)+PReLU, then per level N residual units +
+    Conv3DTranspose(k 4, stride 2, optional ICNR init) with ReLU between
+    levels (reference :309-391).
+
+TPU-native differences: channels-last convs compiled by XLA onto the MXU,
+bfloat16 compute with float32 params, and the quantizer state carried in
+explicit variable collections (see ldm3d/models/quantizers.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ldm3d.core.config import VQVAEConfig
+from ldm3d.models.layers import (
+    Norm, PReLU, conv3d, conv3d_transpose, get_act)
+from ldm3d.models.quantizers import QuantAux, make_quantizer
+
+
+class VQVAEResidualUnit(nn.Module):
+    """reference networks/vqvae3d_monai.py:218-234."""
+
+    input_channels: int
+    num_res_channels: int
+    act: str = "relu"
+    norm: str = "batch"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = True) -> jax.Array:
+        act = get_act(self.act)
+        h = conv3d(self.num_res_channels, 3, dtype=self.dtype, name="conv1")(x)
+        h = act(h)
+        h = conv3d(self.input_channels, 3, dtype=self.dtype, name="conv2")(h)
+        h = Norm(self.norm, dtype=self.dtype, name="norm")(h, training)
+        h = PReLU(dtype=self.dtype, name="prelu")(h)
+        return jax.nn.relu(x + h)
+
+
+class Encoder(nn.Module):
+    """reference networks/vqvae3d_monai.py:237-306."""
+
+    cfg: VQVAEConfig
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = True) -> jax.Array:
+        cfg = self.cfg
+        for i, ch in enumerate(cfg.num_channels):
+            x = conv3d(ch, cfg.downsample_kernel[i],
+                       stride=cfg.downsample_stride[i], dtype=self.dtype,
+                       name=f"down_{i}")(x)
+            if i > 0 and cfg.dropout:
+                x = nn.Dropout(cfg.dropout, deterministic=not training)(x)
+            x = jax.nn.relu(x)
+            for j in range(cfg.num_res_layers):
+                x = VQVAEResidualUnit(
+                    ch, cfg.num_res_channels[i], act=cfg.act, norm=cfg.norm,
+                    dtype=self.dtype, name=f"res_{i}_{j}")(x, training)
+        x = conv3d(cfg.quantizer.embedding_dim, 3, dtype=self.dtype,
+                   name="to_latent")(x)
+        if cfg.dropout:
+            x = nn.Dropout(cfg.dropout, deterministic=not training)(x)
+        x = PReLU(dtype=self.dtype, name="latent_prelu")(x)
+        return x
+
+
+class Decoder(nn.Module):
+    """reference networks/vqvae3d_monai.py:309-391."""
+
+    cfg: VQVAEConfig
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = True) -> jax.Array:
+        cfg = self.cfg
+        rev_channels = list(reversed(cfg.num_channels))
+        rev_res_channels = list(reversed(cfg.num_res_channels))
+
+        x = conv3d(rev_channels[0], 3, dtype=self.dtype, name="stem")(x)
+        if cfg.dropout:
+            x = nn.Dropout(cfg.dropout, deterministic=not training)(x)
+        x = PReLU(dtype=self.dtype, name="stem_prelu")(x)
+
+        n = len(rev_channels)
+        for i in range(n):
+            for j in range(cfg.num_res_layers):
+                x = VQVAEResidualUnit(
+                    rev_channels[i], rev_res_channels[i], act=cfg.act,
+                    norm=cfg.norm, dtype=self.dtype,
+                    name=f"res_{i}_{j}")(x, training)
+            out_ch = cfg.out_channels if i == n - 1 else rev_channels[i + 1]
+            x = conv3d_transpose(
+                out_ch, cfg.upsample_kernel[n - 1 - i],
+                stride=cfg.upsample_stride[n - 1 - i],
+                kernel_resize=cfg.kernel_resize, dtype=self.dtype,
+                name=f"up_{i}")(x)
+            if i != n - 1:
+                if cfg.dropout:
+                    x = nn.Dropout(cfg.dropout, deterministic=not training)(x)
+                x = jax.nn.relu(x)
+        if cfg.output_act:
+            x = get_act(cfg.output_act)(x)
+        return x
+
+
+class VQVAE(nn.Module):
+    """End-to-end encoder -> quantizer -> decoder
+    (reference networks/vqvae3d_monai.py:394-463)."""
+
+    cfg: VQVAEConfig
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        self.encoder = Encoder(self.cfg, dtype=self.dtype)
+        self.decoder = Decoder(self.cfg, dtype=self.dtype)
+        self.quantizer = make_quantizer(self.cfg.quantizer)
+
+    def __call__(self, x: jax.Array,
+                 training: bool = True) -> Tuple[jax.Array, QuantAux]:
+        z = self.encoder(x, training)
+        quantized, aux = self.quantizer(z, training)
+        recon = self.decoder(quantized, training)
+        return recon, aux
+
+    def encode(self, x: jax.Array, training: bool = False) -> jax.Array:
+        return self.encoder(x, training)
+
+    def encode_quantize(self, x: jax.Array, training: bool = False):
+        z = self.encoder(x, training)
+        return self.quantizer(z, training)
+
+    def decode(self, z: jax.Array, training: bool = False) -> jax.Array:
+        return self.decoder(z, training)

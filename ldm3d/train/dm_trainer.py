@@ -1,0 +1,222 @@
+"""Stage-2 latent-diffusion trainer (unconditional and context-conditioned).
+
+Parity with the reference `DiffusionModel` (networks/dm3d.py:379-545 and
+networks/conditional_dm3d.py:418-594):
+  - holds a frozen stage-1 VQ-VAE (encoder/quantizer/decoder weights loaded
+    from a stage-1 checkpoint and excluded from the optimizer; reference
+    dm3d.py:411-420)
+  - train step: t ~ U[0,T), encode+quantize to latents, q_sample, U-Net
+    noise prediction, SUM-MSE / (bs * lc^4) loss (dm3d.py:431-470)
+  - generate: T-step reverse diffusion -> VQ decode, here fused into ONE
+    jitted lax.scan program (vs. the reference's eager Python loop,
+    dm3d.py:510-532) — the main lever for the <10 s north-star
+    (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh
+
+from ldm3d.core.config import DiffusionConfig, TrainConfig
+from ldm3d.diffusion.ddpm import ddpm_sample_step, sample_latents
+from ldm3d.diffusion.schedule import make_schedule, q_sample
+from ldm3d.models.unet3d import UNet3D
+from ldm3d.models.vqvae import VQVAE
+from ldm3d.parallel.mesh import batch_sharding, replicated
+from ldm3d.train.state import TrainState
+
+
+class LatentDiffusion(nn.Module):
+    """Frozen VQ-VAE + trainable U-Net denoiser under one module so both
+    parameter trees live in one checkpointable pytree."""
+
+    cfg: DiffusionConfig
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        self.vqvae = VQVAE(self.cfg.vqvae, dtype=self.dtype)
+        self.unet = UNet3D(self.cfg.unet,
+                           out_channels=self.cfg.latent_channels,
+                           dtype=self.dtype)
+
+    def encode_latents(self, images: jax.Array) -> jax.Array:
+        """images -> quantized latents with the frozen stage-1 model
+        (reference conditional_dm3d.py:476)."""
+        q, _ = self.vqvae.encode_quantize(images, training=False)
+        return q
+
+    def denoise(self, x: jax.Array, t: jax.Array,
+                context: Optional[jax.Array] = None,
+                training: bool = False) -> jax.Array:
+        return self.unet(x, t, context, training=training)
+
+    def decode(self, latents: jax.Array) -> jax.Array:
+        return self.vqvae.decode(latents, training=False)
+
+    def __call__(self, x, t, context=None, training: bool = False):
+        return self.denoise(x, t, context, training)
+
+    def init_all(self, images, t, context=None):
+        """Trace every submodule once so `init` materializes the full
+        parameter tree (linen only initializes modules reached by the
+        traced call)."""
+        q = self.encode_latents(images)
+        eps = self.denoise(q, t, context, training=False)
+        self.decode(q)
+        return eps
+
+
+class DiffusionTrainer:
+    def __init__(self, cfg: DiffusionConfig, train_cfg: TrainConfig,
+                 mesh: Optional[Mesh] = None, conditional: bool = False):
+        self.cfg = cfg
+        self.train_cfg = train_cfg
+        self.mesh = mesh
+        self.conditional = conditional or cfg.unet.context_dim is not None
+        dtype = jnp.bfloat16 if train_cfg.dtype == "bfloat16" else jnp.float32
+        self.model = LatentDiffusion(cfg, dtype=dtype)
+        self.sched = make_schedule(cfg.timesteps, cfg.beta_start, cfg.beta_end)
+        self.tx = optax.adam(train_cfg.learning_rate, b1=train_cfg.adam_b1,
+                             b2=train_cfg.adam_b2)
+        self._train_step = self._build_train_step()
+        self._generate = None  # compiled lazily per latent shape
+
+    # -- init -------------------------------------------------------------
+
+    def init_state(self, rng: jax.Array, image_shape,
+                   vqvae_variables: Optional[Dict] = None) -> TrainState:
+        """`vqvae_variables` loads the frozen stage-1 weights (the reference
+        loads a stage-1 ckpt at construction, dm3d.py:411-414)."""
+        p_rng, s_rng = jax.random.split(rng)
+        dummy_img = jnp.zeros(image_shape, jnp.float32)
+        t = jnp.zeros((image_shape[0],), jnp.int32)
+        ctx = t if self.conditional else None
+        variables = self.model.init(
+            {"params": p_rng, "noise": p_rng}, dummy_img, t, ctx,
+            method="init_all")
+        params = variables["params"]
+        vq_stats = variables.get("vq_stats")
+        batch_stats = variables.get("batch_stats")
+        if vqvae_variables is not None:
+            params = dict(params)
+            params["vqvae"] = vqvae_variables["params"]
+            if "vq_stats" in vqvae_variables and vq_stats is not None:
+                vq_stats = dict(vq_stats)
+                vq_stats["vqvae"] = vqvae_variables["vq_stats"]
+            if "batch_stats" in vqvae_variables and batch_stats is not None:
+                batch_stats = dict(batch_stats)
+                batch_stats["vqvae"] = vqvae_variables["batch_stats"]
+        # Optimizer state only over the U-Net subtree: the VQ-VAE is frozen
+        # (reference dm3d.py:418-420 sets trainable=False).
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params, vq_stats=vq_stats,
+            batch_stats=batch_stats, opt_state=self.tx.init(params["unet"]),
+            rng=s_rng)
+        if self.mesh is not None:
+            state = jax.device_put(state, replicated(self.mesh))
+        return state
+
+    # -- train ------------------------------------------------------------
+
+    def _apply_variables(self, state: TrainState, unet_params=None):
+        params = state.params
+        if unet_params is not None:
+            params = {**params, "unet": unet_params}
+        v = {"params": params}
+        if state.vq_stats is not None:
+            v["vq_stats"] = state.vq_stats
+        if state.batch_stats is not None:
+            v["batch_stats"] = state.batch_stats
+        return v
+
+    def _build_train_step(self):
+        global_bs = self.train_cfg.batch_size
+
+        def loss_fn(unet_params, state, images, context, rng):
+            variables = self._apply_variables(state, unet_params)
+            latents = self.model.apply(
+                variables, images, method="encode_latents")
+            latents = jax.lax.stop_gradient(latents)
+            t_rng, n_rng = jax.random.split(rng)
+            b = latents.shape[0]
+            t = jax.random.randint(t_rng, (b,), 0, self.cfg.timesteps)
+            noise = jax.random.normal(n_rng, latents.shape, jnp.float32)
+            noisy = q_sample(self.sched, latents.astype(jnp.float32), t, noise)
+            mutable = ["batch_stats"] if state.batch_stats is not None else []
+            pred, updates = self.model.apply(
+                variables, noisy.astype(latents.dtype), t,
+                context if self.conditional else None, training=True,
+                method="denoise", mutable=mutable)
+            err = jnp.square(noise - pred.astype(jnp.float32))
+            lc = float(self.cfg.latent_channels)
+            # reference SUM-MSE / (global_bs * lc^4) (dm3d.py:456-459)
+            loss = jnp.sum(err) / (global_bs * lc ** 4)
+            return loss, (jnp.mean(err), updates)
+
+        def step(state: TrainState, images, context):
+            rng, step_rng = jax.random.split(state.rng)
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (loss, (mse, var_updates)), grads = grad_fn(
+                state.params["unet"], state, images, context, step_rng)
+            updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                state.params["unet"])
+            unet_params = optax.apply_updates(state.params["unet"], updates)
+            params = {**state.params, "unet": unet_params}
+            new_state = state.replace(
+                step=state.step + 1, params=params, opt_state=opt_state,
+                batch_stats=var_updates.get("batch_stats", state.batch_stats),
+                rng=rng)
+            return new_state, {"loss": loss, "noise_mse": mse}
+
+        if self.mesh is None:
+            return jax.jit(step, donate_argnums=(0,))
+        rep = replicated(self.mesh)
+        return jax.jit(step, donate_argnums=(0,), out_shardings=(rep, rep))
+
+    def train_step(self, state: TrainState, images, context=None):
+        if context is None:
+            context = jnp.zeros((images.shape[0],), jnp.int32)
+        return self._train_step(state, images, context)
+
+    # -- sampling ---------------------------------------------------------
+
+    def generate_fn(self, latent_shape, last_step: int = 0,
+                    decode: bool = True):
+        """Build the fused jitted sample(+decode) program for a fixed latent
+        shape. Returns f(state, rng, context) -> volumes (or latents)."""
+
+        def run(state: TrainState, rng, context):
+            variables = self._apply_variables(state)
+
+            def denoise(x, t):
+                return self.model.apply(
+                    variables, x, t,
+                    context if self.conditional else None,
+                    training=False, method="denoise")
+
+            latents = sample_latents(self.sched, denoise, latent_shape, rng,
+                                     last_step=last_step)
+            if decode:
+                return self.model.apply(variables, latents, method="decode")
+            return latents
+
+        return jax.jit(run)
+
+    def generate(self, state: TrainState, rng, latent_shape,
+                 context_value: Optional[int] = None, last_step: int = 0,
+                 decode: bool = True):
+        """One-call generation (reference `generate` + `test`,
+        dm3d.py:510-545), entirely on device."""
+        ctx = None
+        if self.conditional:
+            v = 0 if context_value is None else int(context_value)
+            ctx = jnp.full((latent_shape[0],), v, jnp.int32)
+        fn = self.generate_fn(latent_shape, last_step, decode)
+        return fn(state, rng, ctx)

@@ -1,0 +1,295 @@
+"""VQ-GAN adversarial trainer: two optimizers, discriminator warm-up,
+random-frame 2D critics, on-device LPIPS.
+
+Parity with reference VQGAN.train_step (networks/vqgan_attn_cp.py:697-851
+driven by main_exp_vqgan_attn.py:21-62):
+  - input = concat(volume, mask); L1 reconstruction loss (:714)
+  - random coronal frame per batch item, idx ~ U[30, 120) (:706-712)
+  - LPIPS on gray->RGB tiled frames (:716-718)
+  - 3D PatchGAN on volumes + 2D PatchGAN on frames; WGAN-style generator
+    adversarial loss -mean(fake_logits); L1 feature matching with weight
+    4/(3+1) over intermediate features (:725-766)
+  - discriminator warm-up: adversarial terms gated on epoch >=
+    disc_threshold (:718-720 tf.cond; here a 0/1 multiplier so the jitted
+    program is branch-free)
+  - dual Adam optimizers (compile(), :903-906); the reference's two
+    GradientTapes become ONE backward pass with stop_gradient walls between
+    the generator and discriminator paths, splitting grads by subtree.
+
+The reference adds an unreduced L1 *tensor* to scalar losses
+(vqgan_attn_cp.py:714,764) — effectively a sum-scaled loss; here the L1 is
+mean-reduced (intentional correction, noted for parity review).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh
+
+from ldm3d.core.config import TrainConfig, VQGANConfig
+from ldm3d.models.lpips import LPIPS, load_lpips_params
+from ldm3d.models.quantizers import replace_unused_codebooks
+from ldm3d.models.vqgan import (Discriminator2D, Discriminator3D,
+                                VQGANAutoencoder, hinge_d_loss,
+                                vanilla_d_loss)
+from ldm3d.ops.metrics import volume_psnr, volume_ssim
+from ldm3d.parallel.mesh import batch_sharding, replicated
+from ldm3d.train.state import GANTrainState
+
+
+def _sg_tree(tree):
+    return jax.tree_util.tree_map(jax.lax.stop_gradient, tree)
+
+
+class GANTrainer:
+    def __init__(self, cfg: VQGANConfig, train_cfg: TrainConfig,
+                 mesh: Optional[Mesh] = None):
+        self.cfg = cfg
+        self.train_cfg = train_cfg
+        self.mesh = mesh
+        dtype = jnp.bfloat16 if train_cfg.dtype == "bfloat16" else jnp.float32
+        self.ae = VQGANAutoencoder(cfg.ae, dtype=dtype)
+        self.disc3d = Discriminator3D(cfg.disc, dtype=dtype)
+        self.disc2d = Discriminator2D(cfg.disc, dtype=dtype)
+        self.lpips = LPIPS(dtype=jnp.float32)
+        self.d_loss = vanilla_d_loss if cfg.disc_loss_fn == "vanilla" \
+            else hinge_d_loss
+        self.ae_tx = optax.adam(train_cfg.learning_rate, b1=train_cfg.adam_b1,
+                                b2=train_cfg.adam_b2)
+        self.disc_tx = optax.adam(train_cfg.disc_learning_rate,
+                                  b1=train_cfg.adam_b1, b2=train_cfg.adam_b2)
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+
+    # -- init --------------------------------------------------------------
+
+    def init_state(self, rng: jax.Array, sample_shape) -> GANTrainState:
+        rngs = dict(zip(("params", "noise", "dropout"), jax.random.split(rng, 3)))
+        b, h = sample_shape[0], sample_shape[1]
+        img_ch = self.cfg.ae.in_channels // 2
+        x = jnp.zeros(sample_shape, jnp.float32)
+        vol = jnp.zeros(sample_shape[:-1] + (img_ch,), jnp.float32)
+        frame = jnp.zeros((b,) + sample_shape[2:4] + (img_ch,), jnp.float32)
+        frame3 = jnp.tile(frame, (1, 1, 1, 3))
+
+        ae_vars = self.ae.init(rngs, x, training=False)
+        d3_vars = self.disc3d.init(rngs, vol, training=False)
+        d2_vars = self.disc2d.init(rngs, frame, training=False)
+        lp_vars = self.lpips.init({"params": rngs["params"]}, frame3, frame3)
+        lp_params = load_lpips_params() or lp_vars["params"]
+
+        params = {"ae": ae_vars["params"], "disc3d": d3_vars["params"],
+                  "disc2d": d2_vars["params"], "lpips": lp_params}
+        batch_stats = {
+            "ae": ae_vars.get("batch_stats", {}),
+            "disc3d": d3_vars.get("batch_stats", {}),
+            "disc2d": d2_vars.get("batch_stats", {}),
+        }
+        state = GANTrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            vq_stats=ae_vars.get("vq_stats"),
+            batch_stats=batch_stats,
+            opt_state=self.ae_tx.init(ae_vars["params"]),
+            rng=jax.random.fold_in(rng, 17),
+            disc_opt_state=self.disc_tx.init(
+                {"disc3d": d3_vars["params"], "disc2d": d2_vars["params"]}),
+            epoch=jnp.zeros((), jnp.int32))
+        if self.mesh is not None:
+            state = jax.device_put(state, replicated(self.mesh))
+        return state
+
+    # -- the fused generator+discriminator step ---------------------------
+
+    def _forward_losses(self, params, state: GANTrainState, vol, mask, rng,
+                        training: bool):
+        cfg = self.cfg
+        x = jnp.concatenate([vol, mask], axis=-1)
+
+        ae_vars = {"params": params["ae"], "vq_stats": state.vq_stats,
+                   "batch_stats": state.batch_stats["ae"]}
+        noise_rng, frame_rng = jax.random.split(rng)
+        if training:
+            (recon, aux), ae_updates = self.ae.apply(
+                ae_vars, x, training=True,
+                mutable=["vq_stats", "batch_stats"],
+                rngs={"noise": noise_rng})
+        else:
+            recon, aux = self.ae.apply(ae_vars, x, training=False)
+            ae_updates = {}
+        img_ch = vol.shape[-1]
+        img_recon = recon[..., :img_ch].astype(jnp.float32)
+
+        recon_loss = jnp.mean(jnp.abs(img_recon - vol))
+
+        # random 2D frame per batch item (reference :706-712)
+        b, h = vol.shape[0], vol.shape[1]
+        lo, hi = cfg.frame_idx_range
+        hi = min(hi, h)
+        lo = min(lo, hi - 1)
+        frame_idx = jax.random.randint(frame_rng, (b,), lo, hi)
+        frames = vol[jnp.arange(b), frame_idx]              # [B, W, D, C]
+        frames_recon = img_recon[jnp.arange(b), frame_idx]
+
+        # LPIPS on tiled-RGB frames (reference :716-718); VGG is frozen.
+        f3 = jnp.tile(frames, (1, 1, 1, 3))
+        fr3 = jnp.tile(frames_recon, (1, 1, 1, 3))
+        perceptual = jnp.mean(self.lpips.apply(
+            {"params": _sg_tree(params["lpips"])}, f3, fr3))
+
+        # -- adversarial paths --
+        gate = (state.epoch >= cfg.disc_threshold).astype(jnp.float32)
+
+        d3_vars_g = {"params": _sg_tree(params["disc3d"]),
+                     "batch_stats": state.batch_stats["disc3d"]}
+        d2_vars_g = {"params": _sg_tree(params["disc2d"]),
+                     "batch_stats": state.batch_stats["disc2d"]}
+        # Generator path: discriminator params are stop-gradient walls.
+        fake_logits_g, fake_feat_g = self.disc3d.apply(
+            d3_vars_g, img_recon, training=False)
+        fake_logits2_g, fake_feat2_g = self.disc2d.apply(
+            d2_vars_g, frames_recon, training=False)
+        real_logits_g, real_feat_g = self.disc3d.apply(
+            d3_vars_g, vol, training=False)
+        real_logits2_g, real_feat2_g = self.disc2d.apply(
+            d2_vars_g, frames, training=False)
+
+        g_adv = -jnp.mean(fake_logits_g) - jnp.mean(fake_logits2_g)
+        feat_w = 4.0 / (3 + 1)
+        feat_loss = 0.0
+        for fa, fb in zip(fake_feat_g[:-1], real_feat_g[:-1]):
+            feat_loss += feat_w * jnp.mean(jnp.abs(
+                fa.astype(jnp.float32)
+                - jax.lax.stop_gradient(fb).astype(jnp.float32)))
+        for fa, fb in zip(fake_feat2_g[:-1], real_feat2_g[:-1]):
+            feat_loss += feat_w * jnp.mean(jnp.abs(
+                fa.astype(jnp.float32)
+                - jax.lax.stop_gradient(fb).astype(jnp.float32)))
+
+        ae_loss = (recon_loss
+                   + aux.loss.astype(jnp.float32)
+                   + cfg.lpips_wt * perceptual
+                   + gate * (cfg.gan_feat_wt * feat_loss
+                             + cfg.g_loss_adv_wt * g_adv))
+
+        # Discriminator path: generator output is a stop-gradient wall.
+        d3_vars = {"params": params["disc3d"],
+                   "batch_stats": state.batch_stats["disc3d"]}
+        d2_vars = {"params": params["disc2d"],
+                   "batch_stats": state.batch_stats["disc2d"]}
+        if training:
+            (real_logits, _), d3_updates = self.disc3d.apply(
+                d3_vars, vol, training=True, mutable=["batch_stats"])
+        else:
+            real_logits, _ = self.disc3d.apply(d3_vars, vol, training=False)
+            d3_updates = {}
+        fake_logits, _ = self.disc3d.apply(
+            {"params": params["disc3d"],
+             "batch_stats": d3_updates.get("batch_stats",
+                                           state.batch_stats["disc3d"])},
+            jax.lax.stop_gradient(img_recon), training=False)
+        if training:
+            (real_logits2, _), d2_updates = self.disc2d.apply(
+                d2_vars, frames, training=True, mutable=["batch_stats"])
+        else:
+            real_logits2, _ = self.disc2d.apply(d2_vars, frames,
+                                                training=False)
+            d2_updates = {}
+        fake_logits2, _ = self.disc2d.apply(
+            {"params": params["disc2d"],
+             "batch_stats": d2_updates.get("batch_stats",
+                                           state.batch_stats["disc2d"])},
+            jax.lax.stop_gradient(frames_recon), training=False)
+
+        disc_loss = (self.d_loss(True, real_logits)
+                     + self.d_loss(False, fake_logits)
+                     + self.d_loss(True, real_logits2)
+                     + self.d_loss(False, fake_logits2))
+        disc_loss = gate * cfg.disc_wt * disc_loss
+
+        new_batch_stats = {
+            "ae": ae_updates.get("batch_stats", state.batch_stats["ae"]),
+            "disc3d": d3_updates.get("batch_stats",
+                                     state.batch_stats["disc3d"]),
+            "disc2d": d2_updates.get("batch_stats",
+                                     state.batch_stats["disc2d"]),
+        }
+        metrics = {
+            "loss": ae_loss,
+            "reconst_loss": recon_loss,
+            "quantize_loss": aux.loss,
+            "gen_loss": gate * g_adv,
+            "disc_loss": disc_loss,
+            "gan_feat_loss": gate * feat_loss,
+            "perceptual_loss": perceptual,
+            "perplexity": aux.perplexity,
+        }
+        updates = {"vq_stats": ae_updates.get("vq_stats", state.vq_stats),
+                   "batch_stats": new_batch_stats}
+        return ae_loss + disc_loss, (metrics, updates, img_recon)
+
+    def _build_train_step(self):
+        def step(state: GANTrainState, vol, mask):
+            rng, step_rng = jax.random.split(state.rng)
+            grad_fn = jax.value_and_grad(
+                lambda p: self._forward_losses(p, state, vol, mask, step_rng,
+                                               True), has_aux=True)
+            (total, (metrics, updates, _)), grads = grad_fn(state.params)
+
+            ae_updates, ae_opt = self.ae_tx.update(
+                grads["ae"], state.opt_state, state.params["ae"])
+            ae_params = optax.apply_updates(state.params["ae"], ae_updates)
+
+            d_grads = {"disc3d": grads["disc3d"], "disc2d": grads["disc2d"]}
+            d_params = {"disc3d": state.params["disc3d"],
+                        "disc2d": state.params["disc2d"]}
+            d_updates, d_opt = self.disc_tx.update(
+                d_grads, state.disc_opt_state, d_params)
+            d_params = optax.apply_updates(d_params, d_updates)
+
+            params = {"ae": ae_params, "disc3d": d_params["disc3d"],
+                      "disc2d": d_params["disc2d"],
+                      "lpips": state.params["lpips"]}
+            new_state = state.replace(
+                step=state.step + 1, params=params, opt_state=ae_opt,
+                disc_opt_state=d_opt, vq_stats=updates["vq_stats"],
+                batch_stats=updates["batch_stats"], rng=rng)
+            return new_state, metrics
+
+        if self.mesh is None:
+            return jax.jit(step, donate_argnums=(0,))
+        rep = replicated(self.mesh)
+        return jax.jit(step, donate_argnums=(0,), out_shardings=(rep, rep))
+
+    def _build_eval_step(self):
+        def step(state: GANTrainState, vol, mask, rng):
+            _, (metrics, _, img_recon) = self._forward_losses(
+                state.params, state, vol, mask, rng, False)
+            metrics = dict(metrics)
+            metrics["ssim"] = volume_ssim(img_recon, vol)
+            metrics["psnr"] = volume_psnr(img_recon, vol)
+            return metrics
+
+        if self.mesh is None:
+            return jax.jit(step)
+        rep = replicated(self.mesh)
+        return jax.jit(step, out_shardings=rep)
+
+    # -- public API --------------------------------------------------------
+
+    def train_step(self, state: GANTrainState, vol, mask):
+        return self._train_step(state, vol, mask)
+
+    def eval_step(self, state: GANTrainState, vol, mask, rng=None):
+        return self._eval_step(state, vol, mask,
+                               rng if rng is not None else jax.random.PRNGKey(0))
+
+    def next_epoch(self, state: GANTrainState) -> GANTrainState:
+        """EpochCounterCallback equivalent (reference vqgan.py:16-21)."""
+        return state.replace(epoch=state.epoch + 1)

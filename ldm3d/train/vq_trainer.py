@@ -1,0 +1,174 @@
+"""Stage-1 VQ-VAE trainer: jitted, mesh-sharded train/eval steps.
+
+Parity with the reference training semantics (networks/vqvae3d_monai.py:
+476-544 driven by main.py:186-271):
+  - input = concat(volume, mask) on the channel axis (train_step :478)
+  - reconstruction MSE on the image channel only (:487)
+  - plus the quantizer loss; the reference's manual `/num_gpus` (:489)
+    disappears because mean-reduction under jit over the sharded global batch
+    already yields the global mean
+  - eval adds per-slice SSIM/PSNR (:523-536)
+
+TPU-native structure: one `jax.jit` per step with NamedSharding constraints —
+batch sharded over the 'data' mesh axis, state replicated; XLA inserts the
+gradient all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ldm3d.core.config import ExperimentConfig, TrainConfig, VQVAEConfig
+from ldm3d.models.quantizers import replace_unused_codebooks
+from ldm3d.models.vqvae import VQVAE
+from ldm3d.ops.metrics import volume_psnr, volume_ssim
+from ldm3d.parallel.mesh import batch_sharding, replicated
+from ldm3d.train.state import TrainState
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.adam(cfg.learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2)
+
+
+class VQTrainer:
+    """Owns the model, optimizer, and compiled step functions."""
+
+    def __init__(self, cfg: VQVAEConfig, train_cfg: TrainConfig,
+                 mesh: Optional[Mesh] = None):
+        self.cfg = cfg
+        self.train_cfg = train_cfg
+        self.mesh = mesh
+        dtype = jnp.bfloat16 if train_cfg.dtype == "bfloat16" else jnp.float32
+        self.model = VQVAE(cfg, dtype=dtype)
+        self.tx = make_optimizer(train_cfg)
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+
+    # -- initialization ----------------------------------------------------
+
+    def init_state(self, rng: jax.Array, sample_shape) -> TrainState:
+        p_rng, n_rng, d_rng, s_rng = jax.random.split(rng, 4)
+        dummy = jnp.zeros(sample_shape, jnp.float32)
+        variables = self.model.init(
+            {"params": p_rng, "noise": n_rng, "dropout": d_rng}, dummy,
+            training=False)
+        params = variables["params"]
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            vq_stats=variables.get("vq_stats"),
+            batch_stats=variables.get("batch_stats"),
+            opt_state=self.tx.init(params),
+            rng=s_rng)
+        if self.mesh is not None:
+            state = jax.device_put(state, replicated(self.mesh))
+        return state
+
+    # -- steps -------------------------------------------------------------
+
+    def _loss_fn(self, params, state: TrainState, vol, mask, rngs, training):
+        x = jnp.concatenate([vol, mask], axis=-1)
+        variables = {"params": params}
+        mutable = []
+        if state.vq_stats is not None:
+            variables["vq_stats"] = state.vq_stats
+            mutable.append("vq_stats")
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+            mutable.append("batch_stats")
+        if training:
+            (recon, aux), updates = self.model.apply(
+                variables, x, training=True, mutable=mutable, rngs=rngs)
+        else:
+            recon, aux = self.model.apply(variables, x, training=False)
+            updates = {}
+        img_recon = recon[..., :vol.shape[-1]].astype(jnp.float32)
+        recon_loss = jnp.mean(jnp.square(img_recon - vol))
+        q_weight = self.cfg.quantizer.quantize_loss_weight
+        loss = recon_loss + q_weight * aux.loss.astype(jnp.float32)
+        metrics = {
+            "loss": loss,
+            "reconst_loss": recon_loss,
+            "quantize_loss": aux.loss,
+            "perplexity": aux.perplexity,
+        }
+        return loss, (metrics, updates, img_recon)
+
+    def _build_train_step(self):
+        def step(state: TrainState, vol, mask):
+            rng, noise_rng, drop_rng = jax.random.split(state.rng, 3)
+            rngs = {"noise": noise_rng, "dropout": drop_rng}
+            grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
+            (loss, (metrics, updates, _)), grads = grad_fn(
+                state.params, state, vol, mask, rngs, True)
+            updates_tx, opt_state = self.tx.update(grads, state.opt_state,
+                                                   state.params)
+            params = optax.apply_updates(state.params, updates_tx)
+            new_state = state.replace(
+                step=state.step + 1, params=params, opt_state=opt_state,
+                vq_stats=updates.get("vq_stats", state.vq_stats),
+                batch_stats=updates.get("batch_stats", state.batch_stats),
+                rng=rng)
+            return new_state, metrics
+
+        if self.mesh is None:
+            return jax.jit(step, donate_argnums=(0,))
+        rep = replicated(self.mesh)
+        # input shardings are inferred from the args (batch may be sharded
+        # over 'data' and optionally a spatial axis over 'space'); state and
+        # metrics are pinned replicated.
+        return jax.jit(step, donate_argnums=(0,), out_shardings=(rep, rep))
+
+    def _build_eval_step(self):
+        def step(state: TrainState, vol, mask):
+            _, (metrics, _, img_recon) = self._loss_fn(
+                state.params, state, vol, mask, {}, False)
+            metrics = dict(metrics)
+            metrics["ssim"] = volume_ssim(img_recon, vol)
+            metrics["psnr"] = volume_psnr(img_recon, vol)
+            return metrics
+
+        if self.mesh is None:
+            return jax.jit(step)
+        rep = replicated(self.mesh)
+        return jax.jit(step, out_shardings=rep)
+
+    def train_step(self, state: TrainState, vol, mask):
+        return self._train_step(state, vol, mask)
+
+    def eval_step(self, state: TrainState, vol, mask):
+        return self._eval_step(state, vol, mask)
+
+    # -- codebook maintenance ---------------------------------------------
+
+    def replace_unused(self, state: TrainState, num_batches: int,
+                       rng: jax.Array) -> Tuple[TrainState, jax.Array]:
+        """Epoch-end unused-code replacement (ReplaceCodebookCallback,
+        reference vqvae3d_monai.py:100-109) as a pure state transition."""
+        kind = self.cfg.quantizer.kind
+        thresh = self.cfg.quantizer.discarding_threshold
+        if kind in ("ste", "nsvq"):
+            params = state.params["quantizer"]
+            usage = state.vq_stats["quantizer"]["codebooks_used"]
+            new_cb, new_usage, n = replace_unused_codebooks(
+                params["codebook"], usage, num_batches, rng, thresh)
+            new_params = dict(state.params)
+            new_params["quantizer"] = {**params, "codebook": new_cb}
+            new_stats = dict(state.vq_stats)
+            new_stats["quantizer"] = {**state.vq_stats["quantizer"],
+                                      "codebooks_used": new_usage}
+            return state.replace(params=new_params, vq_stats=new_stats), n
+        return state, jnp.zeros((), jnp.int32)
+
+    # -- inference --------------------------------------------------------
+
+    def reconstruct(self, state: TrainState, vol, mask):
+        x = jnp.concatenate([vol, mask], axis=-1)
+        recon, aux = self.model.apply(state.variables(), x, training=False)
+        return recon, aux

@@ -1,0 +1,145 @@
+"""Golden-value tests for the DDPM schedule, U-Net shape tests, and the
+fused lax.scan sampler (SURVEY.md §4 test pyramid)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldm3d.core.config import UNetConfig
+from ldm3d.diffusion.ddpm import diffusion_train_loss, sample_latents
+from ldm3d.diffusion.schedule import make_schedule, posterior, q_sample
+from ldm3d.models.unet3d import UNet3D
+
+
+def test_schedule_golden_values():
+    """Coefficients must match the reference Betas table formulas
+    (networks/dm3d.py:194-214) computed independently in numpy."""
+    T = 50
+    s = make_schedule(T)
+    beta = np.linspace(1e-4, 0.02, T)
+    alpha = 1 - beta
+    alpha_bar = np.cumprod(alpha)
+    np.testing.assert_allclose(np.asarray(s.beta), beta, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s.alpha_bar), alpha_bar, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s.alpha_bar_prev),
+                               np.append(1.0, alpha_bar[:-1]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s.sqrt_one_minus_alpha_bar),
+                               np.sqrt(1 - alpha_bar), rtol=1e-5)
+
+
+def test_q_sample_interpolates():
+    s = make_schedule(10)
+    x = jnp.ones((2, 2, 2, 2, 3))
+    noise = jnp.zeros_like(x)
+    t = jnp.array([0, 9])
+    out = q_sample(s, x, t, noise)
+    np.testing.assert_allclose(np.asarray(out[0]),
+                               float(s.sqrt_alpha_bar[0]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[1]),
+                               float(s.sqrt_alpha_bar[9]), rtol=1e-5)
+
+
+def test_posterior_mean_recovers_x0_at_t0():
+    """At t=0 with perfect noise prediction the posterior mean equals x0."""
+    s = make_schedule(10)
+    rng = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(rng, (1, 2, 2, 2, 3))
+    noise = jax.random.normal(jax.random.fold_in(rng, 1), x0.shape)
+    t = jnp.array([0])
+    x_t = q_sample(s, x0, t, noise)
+    mean, var = posterior(s, x_t, noise, t)
+    # fp32 posterior divides by (1 - alpha_bar) = 1e-4 at t=0; allow ~1e-3.
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(x0),
+                               rtol=1e-2, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(var), 0.0, atol=1e-7)
+
+
+def _tiny_unet(context_dim=None):
+    cfg = UNetConfig(widths=(8, 16), has_attention=(False, True),
+                     num_res_blocks=1, first_conv_channels=8,
+                     context_dim=context_dim, norm="batch",
+                     attention_impl="xla")
+    return UNet3D(cfg, out_channels=4, dtype=jnp.float32)
+
+
+def test_unet_unconditional_shape():
+    m = _tiny_unet()
+    x = jnp.zeros((2, 8, 8, 8, 4))
+    t = jnp.zeros((2,), jnp.int32)
+    var = m.init({"params": jax.random.PRNGKey(0)}, x, t, training=False)
+    out = m.apply(var, x, t, training=False)
+    assert out.shape == x.shape
+
+
+def test_unet_conditional_shape_and_context_sensitivity():
+    m = _tiny_unet(context_dim=1)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 8, 4))
+    t = jnp.zeros((2,), jnp.int32)
+    ctx0 = jnp.zeros((2,), jnp.int32)
+    ctx1 = jnp.ones((2,), jnp.int32)
+    var = m.init({"params": jax.random.PRNGKey(0)}, x, t, ctx0,
+                 training=False)
+    # The head conv is zero-init for reference parity (dm3d.py:374), so an
+    # untrained net outputs exactly 0; give it a nonzero head to observe
+    # context sensitivity end-to-end.
+    var = jax.tree_util.tree_map(lambda v: v, var)  # shallow copy
+    head = dict(var["params"]["head"])
+    head["kernel"] = 0.01 * jax.random.normal(jax.random.PRNGKey(5),
+                                              head["kernel"].shape)
+    var = {**var, "params": {**var["params"], "head": head}}
+    out0 = m.apply(var, x, t, ctx0, training=False)
+    out1 = m.apply(var, x, t, ctx1, training=False)
+    assert out0.shape == x.shape
+    # context token must influence the output
+    assert float(jnp.max(jnp.abs(out0 - out1))) > 1e-6
+
+
+def test_train_loss_reference_scaling():
+    s = make_schedule(10)
+    latents = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 4, 8))
+
+    def pred_fn(noisy, t):
+        return jnp.zeros_like(noisy)
+
+    loss_ref = diffusion_train_loss(s, latents, pred_fn,
+                                    jax.random.PRNGKey(1), global_batch=2,
+                                    loss_scaling="reference")
+    loss_mean = diffusion_train_loss(s, latents, pred_fn,
+                                     jax.random.PRNGKey(1), global_batch=2,
+                                     loss_scaling="mean")
+    assert np.isfinite(float(loss_ref)) and float(loss_ref) > 0
+    # reference scaling = sum / (bs * lc^4); with lc=8, mean*N/(2*8^4)
+    n = latents.size
+    np.testing.assert_allclose(float(loss_ref),
+                               float(loss_mean) * n / (2 * 8 ** 4), rtol=1e-4)
+
+
+def test_scan_sampler_runs_and_is_deterministic():
+    s = make_schedule(5)
+
+    def denoise(x, t):
+        return 0.1 * x
+
+    shape = (1, 4, 4, 4, 2)
+    out1 = sample_latents(s, denoise, shape, jax.random.PRNGKey(0))
+    out2 = sample_latents(s, denoise, shape, jax.random.PRNGKey(0))
+    out3 = sample_latents(s, denoise, shape, jax.random.PRNGKey(1))
+    assert out1.shape == shape
+    assert np.isfinite(np.asarray(out1)).all()
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+    assert not np.allclose(np.asarray(out1), np.asarray(out3))
+
+
+def test_sampler_last_step_zero_noise():
+    """The final step (t==0) must add no noise (reference dm3d.py:518-521)."""
+    s = make_schedule(1)
+
+    def denoise(x, t):
+        return jnp.zeros_like(x)
+
+    shape = (1, 2, 2, 2, 1)
+    out_a = sample_latents(s, denoise, shape, jax.random.PRNGKey(0))
+    # With T=1 the only step is t=0: x = clip(mean) with no noise; mean is a
+    # deterministic function of the initial sample.
+    out_b = sample_latents(s, denoise, shape, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b))

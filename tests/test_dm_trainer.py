@@ -1,0 +1,103 @@
+"""End-to-end latent-diffusion trainer tests: frozen VQ-VAE + U-Net train
+step, fused scan sampling + decode, and the multi-device path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldm3d.core.config import (DiffusionConfig, MeshConfig, QuantizerConfig,
+                               TrainConfig, UNetConfig, VQVAEConfig)
+from ldm3d.data.synthetic import synthetic_batch
+from ldm3d.parallel.mesh import make_mesh, shard_batch
+from ldm3d.train.dm_trainer import DiffusionTrainer
+from ldm3d.train.state import TrainState
+
+
+def tiny_diffusion_cfg(conditional=False, timesteps=5):
+    vq = VQVAEConfig(
+        in_channels=1, out_channels=1,
+        num_channels=(4, 8), num_res_channels=(4, 8), num_res_layers=1,
+        downsample_stride=(2, 2), downsample_kernel=(4, 4),
+        upsample_stride=(2, 2), upsample_kernel=(4, 4),
+        quantizer=QuantizerConfig(kind="ste", num_embeddings=16,
+                                  embedding_dim=8))
+    unet = UNetConfig(widths=(8, 16), has_attention=(False, True),
+                      num_res_blocks=1, first_conv_channels=8,
+                      context_dim=1 if conditional else None,
+                      attention_impl="xla")
+    return DiffusionConfig(timesteps=timesteps, latent_size=4,
+                           latent_channels=8, unet=unet, vqvae=vq)
+
+
+def train_cfg(**kw):
+    kw.setdefault("dtype", "float32")
+    kw.setdefault("batch_size", 2)
+    return TrainConfig(**kw)
+
+
+def test_dm_train_step_updates_unet_only():
+    cfg = tiny_diffusion_cfg()
+    trainer = DiffusionTrainer(cfg, train_cfg())
+    state = trainer.init_state(jax.random.PRNGKey(0), (2, 16, 16, 16, 1))
+    vol, _, _ = synthetic_batch(jax.random.PRNGKey(1), 2, 16)
+    import flax
+
+    vq_before = jax.tree_util.tree_map(lambda x: np.asarray(x),
+                                       state.params["vqvae"])
+    unet_before = flax.traverse_util.flatten_dict(
+        jax.tree_util.tree_map(lambda x: np.asarray(x),
+                               state.params["unet"]))
+    # several steps: zero-init convs (reference dm3d.py:374) gate upstream
+    # gradients until they become nonzero.
+    for _ in range(3):
+        state, metrics = trainer.train_step(state, vol)
+    assert np.isfinite(float(metrics["loss"]))
+    # frozen VQ-VAE untouched (reference dm3d.py:418-420, :461-464)
+    vq_after = jax.tree_util.tree_map(lambda x: np.asarray(x),
+                                      state.params["vqvae"])
+    jax.tree_util.tree_map(np.testing.assert_array_equal, vq_before, vq_after)
+    unet_after = flax.traverse_util.flatten_dict(
+        jax.tree_util.tree_map(lambda x: np.asarray(x),
+                               state.params["unet"]))
+    changed = sum(1 for k in unet_before
+                  if not np.array_equal(unet_before[k], unet_after[k]))
+    assert changed > len(unet_before) // 2, (changed, len(unet_before))
+
+
+def test_dm_generate_fused_scan_and_decode():
+    cfg = tiny_diffusion_cfg()
+    trainer = DiffusionTrainer(cfg, train_cfg())
+    state = trainer.init_state(jax.random.PRNGKey(0), (2, 16, 16, 16, 1))
+    out = trainer.generate(state, jax.random.PRNGKey(2),
+                           latent_shape=(2, 4, 4, 4, 8))
+    assert out.shape == (2, 16, 16, 16, 1)  # decoded back to image space
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_dm_conditional_generate_contexts_differ():
+    cfg = tiny_diffusion_cfg(conditional=True)
+    trainer = DiffusionTrainer(cfg, train_cfg())
+    state = trainer.init_state(jax.random.PRNGKey(0), (1, 16, 16, 16, 1))
+    vol, _, ctx = synthetic_batch(jax.random.PRNGKey(1), 1, 16)
+    state, m = trainer.train_step(state, vol, ctx)
+    assert np.isfinite(float(m["loss"]))
+    out0 = trainer.generate(state, jax.random.PRNGKey(3),
+                            latent_shape=(1, 4, 4, 4, 8), context_value=0)
+    out1 = trainer.generate(state, jax.random.PRNGKey(3),
+                            latent_shape=(1, 4, 4, 4, 8), context_value=1)
+    assert out0.shape == out1.shape == (1, 16, 16, 16, 1)
+    assert not np.allclose(np.asarray(out0, np.float32),
+                           np.asarray(out1, np.float32))
+
+
+def test_dm_data_parallel_mesh_step():
+    mesh = make_mesh(MeshConfig(data=8, space=1))
+    cfg = tiny_diffusion_cfg()
+    trainer = DiffusionTrainer(cfg, train_cfg(batch_size=8), mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0), (8, 16, 16, 16, 1))
+    vol, _, ctx = synthetic_batch(jax.random.PRNGKey(1), 8, 16)
+    vol, ctx = shard_batch(mesh, (vol, ctx))
+    state, metrics = trainer.train_step(state, vol, ctx)
+    assert np.isfinite(float(metrics["loss"]))
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert leaf.sharding.is_fully_replicated

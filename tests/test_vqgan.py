@@ -1,0 +1,103 @@
+"""VQ-GAN trainer tests: dual-optimizer step, discriminator warm-up gating,
+PatchGAN output shapes, LPIPS wiring."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldm3d.core.config import (DiscriminatorConfig, QuantizerConfig,
+                               TrainConfig, VQGANConfig, VQVAEConfig)
+from ldm3d.data.synthetic import synthetic_batch
+from ldm3d.models.lpips import LPIPS
+from ldm3d.models.vqgan import Discriminator2D, Discriminator3D
+from ldm3d.train.gan_trainer import GANTrainer
+
+
+def tiny_gan_cfg(disc_threshold=0):
+    ae = VQVAEConfig(
+        in_channels=2, out_channels=2,
+        num_channels=(4, 8), num_res_channels=(4, 8), num_res_layers=1,
+        downsample_stride=(1, 2), downsample_kernel=(3, 4),
+        upsample_stride=(1, 2), upsample_kernel=(3, 4),
+        norm="group", act="silu",
+        quantizer=QuantizerConfig(kind="ema", num_embeddings=16,
+                                  embedding_dim=8))
+    disc = DiscriminatorConfig(num_channels=(4, 8))
+    return VQGANConfig(ae=ae, disc=disc, disc_threshold=disc_threshold,
+                       frame_idx_range=(4, 12))
+
+
+def train_cfg():
+    return TrainConfig(dtype="float32", batch_size=2, learning_rate=1e-3,
+                       disc_learning_rate=1e-3)
+
+
+def test_patchgan_discriminators_shapes():
+    d3 = Discriminator3D(DiscriminatorConfig(num_channels=(4, 8)),
+                         dtype=jnp.float32)
+    x = jnp.zeros((2, 16, 16, 16, 1))
+    var = d3.init({"params": jax.random.PRNGKey(0)}, x, training=False)
+    logits, feats = d3.apply(var, x, training=False)
+    assert logits.shape == (2, 4, 4, 4, 1)   # 16 / 2^2 patch map
+    assert len(feats) == 4                    # 2 downs + tail + logits
+
+    d2 = Discriminator2D(DiscriminatorConfig(num_channels=(4, 8)),
+                         dtype=jnp.float32)
+    f = jnp.zeros((2, 16, 16, 1))
+    var2 = d2.init({"params": jax.random.PRNGKey(0)}, f, training=False)
+    logits2, feats2 = d2.apply(var2, f, training=False)
+    assert logits2.shape == (2, 4, 4, 1)
+
+
+def test_lpips_zero_for_identical_images():
+    m = LPIPS()
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    var = m.init({"params": jax.random.PRNGKey(1)}, x, x)
+    d_same = m.apply(var, x, x)
+    y = jax.random.uniform(jax.random.PRNGKey(2), (2, 16, 16, 3))
+    d_diff = m.apply(var, x, y)
+    np.testing.assert_allclose(np.asarray(d_same), 0.0, atol=1e-6)
+    assert float(jnp.mean(d_diff)) > 0
+
+
+def test_gan_train_step_warmup_gates_adversarial_losses():
+    """Before disc_threshold epochs the adversarial terms must be zero
+    (reference vqgan_attn_cp.py:718-720 tf.cond warm-up)."""
+    cfg = tiny_gan_cfg(disc_threshold=5)
+    trainer = GANTrainer(cfg, train_cfg())
+    vol, mask, _ = synthetic_batch(jax.random.PRNGKey(0), 2, 16)
+    state = trainer.init_state(jax.random.PRNGKey(1), (2, 16, 16, 16, 2))
+    d3_before = jax.tree_util.tree_leaves(state.params["disc3d"])[0].copy()
+    state, m = trainer.train_step(state, vol, mask)
+    assert float(m["disc_loss"]) == 0.0
+    assert float(m["gen_loss"]) == 0.0
+    assert float(m["gan_feat_loss"]) == 0.0
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_gan_train_step_post_warmup_trains_discriminator():
+    cfg = tiny_gan_cfg(disc_threshold=0)
+    trainer = GANTrainer(cfg, train_cfg())
+    vol, mask, _ = synthetic_batch(jax.random.PRNGKey(0), 2, 16)
+    state = trainer.init_state(jax.random.PRNGKey(1), (2, 16, 16, 16, 2))
+    d3_before = jax.tree_util.tree_leaves(state.params["disc3d"])[0].copy()
+    ae_before = jax.tree_util.tree_leaves(state.params["ae"])[0].copy()
+    lp_before = jax.tree_util.tree_leaves(state.params["lpips"])[0].copy()
+    state, m = trainer.train_step(state, vol, mask)
+    assert float(m["disc_loss"]) != 0.0
+    d3_after = jax.tree_util.tree_leaves(state.params["disc3d"])[0]
+    ae_after = jax.tree_util.tree_leaves(state.params["ae"])[0]
+    lp_after = jax.tree_util.tree_leaves(state.params["lpips"])[0]
+    assert not np.array_equal(np.asarray(d3_before), np.asarray(d3_after))
+    assert not np.array_equal(np.asarray(ae_before), np.asarray(ae_after))
+    # LPIPS VGG stays frozen
+    np.testing.assert_array_equal(np.asarray(lp_before), np.asarray(lp_after))
+
+
+def test_gan_epoch_counter():
+    cfg = tiny_gan_cfg(disc_threshold=3)
+    trainer = GANTrainer(cfg, train_cfg())
+    state = trainer.init_state(jax.random.PRNGKey(1), (2, 16, 16, 16, 2))
+    for _ in range(3):
+        state = trainer.next_epoch(state)
+    assert int(state.epoch) == 3
