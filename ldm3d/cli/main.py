@@ -1,0 +1,426 @@
+"""Unified CLI — the framework's entry-point layer (SURVEY.md §2.5).
+
+One typed entry point replaces the reference's ten near-duplicate mains
+(main.py, main_conditional_dm.py, main_nsvqvae.py, main_rnsvqvae.py,
+main_exp_vqvae.py, main_exp_vqgan*.py, main_exp_nsvqvae.py): the model
+family comes from a `--preset` (ldm3d/core/presets.py) and the reference's
+flag surface is preserved (`--create_dataset/--train_vq/--test_vq/
+--train_dm/--test_dm --dataset ... --lbs ...`, reference main.py:451-503).
+
+Usage examples (mirroring the sbatch commands, SURVEY.md §2.5):
+  python -m ldm3d.cli.main --preset vqvae_b8_all --train_vq \
+      --dataset all --lbs 2 --epochs 200 --kernel_resize
+  python -m ldm3d.cli.main --preset conditional_dm3d --train_dm \
+      --timesteps 500 --vqvae_load_ckpt ./checkpoints/vqvae_b8_all
+  python -m ldm3d.cli.main --preset vqgan_attn --train_vq --synthetic
+  python -m ldm3d.cli.main --preset dm3d --test_dm --test_epoch 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+import numpy as np
+
+
+def str2bool(v):  # reference main_exp_vqgan_attn.py str2bool
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("boolean value expected")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("ldm3d",
+                                description="TPU-native 3D latent diffusion")
+    p.add_argument("--preset", default="vqvae_b8_all")
+    # mode flags (reference main.py:460-478)
+    p.add_argument("--create_dataset", action="store_true")
+    p.add_argument("--train_vq", action="store_true")
+    p.add_argument("--test_vq", action="store_true")
+    p.add_argument("--train_dm", action="store_true")
+    p.add_argument("--test_dm", action="store_true")
+    # data
+    p.add_argument("--dataset", default=None,
+                   help="CC|NFBS|HCP|BraTS|all|all-T")
+    p.add_argument("--dataset_dir", default=None)
+    p.add_argument("--cache_dir", default=None)
+    p.add_argument("--augment", action="store_true")
+    p.add_argument("--synthetic", action="store_true",
+                   help="use generated volumes (no NIfTI data needed)")
+    p.add_argument("--num_synthetic", type=int, default=24)
+    p.add_argument("--volume_size", type=int, default=None)
+    # training (reference main.py:479-502)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--lbs", type=int, default=None,
+                   help="batch size per device (global = lbs * data-parallel)")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--val_perc", type=float, default=None)
+    p.add_argument("--kernel_resize", action="store_true")
+    p.add_argument("--suffix", default=None)
+    p.add_argument("--test_epoch", type=int, default=None)
+    p.add_argument("--save_best_only", action="store_true")
+    p.add_argument("--vqvae_load_ckpt", type=str, default=None)
+    p.add_argument("--timesteps", type=int, default=None)
+    p.add_argument("--resume_ckpt", type=int, default=None)
+    p.add_argument("--test_run", action="store_true")
+    p.add_argument("--num_embeddings", type=int, default=None)
+    p.add_argument("--embedding_dim", type=int, default=None)
+    p.add_argument("--dtype", default=None, choices=["bfloat16", "float32"])
+    p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--out_dir", default="./generated_images_dm3d")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of a few steps")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force a JAX backend (this environment's "
+                        "sitecustomize pins the TPU; --platform cpu "
+                        "overrides it for smoke runs)")
+    p.add_argument("--cpu_devices", type=int, default=0,
+                   help="with --platform cpu: number of virtual host "
+                        "devices for the mesh")
+    return p
+
+
+def apply_overrides(cfg, args):
+    """Fold CLI flags into the preset's config tree."""
+    from ldm3d.core.config import replace
+
+    train = cfg.train
+    if args.lr is not None:
+        train = replace(train, learning_rate=args.lr)
+    if args.epochs is not None:
+        train = replace(train, epochs=args.epochs)
+    if args.lbs is not None:
+        import jax
+        train = replace(train, batch_size=args.lbs * max(
+            1, jax.device_count()))
+    if args.val_perc is not None:
+        train = replace(train, val_fraction=args.val_perc)
+    if args.dtype is not None:
+        train = replace(train, dtype=args.dtype)
+    cfg = replace(cfg, train=train)
+
+    data = cfg.data
+    if args.dataset is not None:
+        data = replace(data, dataset=args.dataset)
+    if args.dataset_dir is not None:
+        data = replace(data, dataset_dir=args.dataset_dir)
+    if args.cache_dir is not None:
+        data = replace(data, cache_dir=args.cache_dir)
+    if args.volume_size is not None:
+        data = replace(data, volume_size=args.volume_size)
+    if args.augment:
+        data = replace(data, augment=True)
+    if args.test_run:
+        data = replace(data, test_run=True)
+    cfg = replace(cfg, data=data)
+
+    vq = cfg.vqvae
+    q = vq.quantizer
+    if args.num_embeddings is not None:
+        q = replace(q, num_embeddings=args.num_embeddings)
+    if args.embedding_dim is not None:
+        q = replace(q, embedding_dim=args.embedding_dim)
+    vq = replace(vq, quantizer=q)
+    if args.kernel_resize:
+        vq = replace(vq, kernel_resize=True)
+    cfg = replace(cfg, vqvae=vq)
+
+    diff = cfg.diffusion
+    if args.timesteps is not None:
+        diff = replace(diff, timesteps=args.timesteps)
+    cfg = replace(cfg, diffusion=diff)
+
+    if args.ckpt_dir is not None:
+        cfg = replace(cfg, ckpt_dir=args.ckpt_dir)
+    if args.suffix is not None:
+        cfg = replace(cfg, name=args.suffix)
+    return cfg
+
+
+def _loaders(cfg, args):
+    """Build train/val loaders from the cache (or synthetic volumes)."""
+    import jax
+    from ldm3d.data.pipeline import (DataLoader, VolumeCache,
+                                     train_val_split, write_synthetic_cache)
+
+    cache_dir = cfg.data.cache_dir
+    manifest = os.path.join(cache_dir, "manifest.json")
+    if args.synthetic and not os.path.exists(manifest):
+        write_synthetic_cache(cache_dir, args.num_synthetic,
+                              cfg.data.volume_size, seed=cfg.train.seed)
+    if not os.path.exists(manifest):
+        raise SystemExit(
+            f"no cache at {cache_dir}: run --create_dataset first "
+            f"(or pass --synthetic)")
+    cache = VolumeCache(cache_dir)
+    tr, va = train_val_split(cache, cfg.train.val_fraction, cfg.train.seed)
+    train = DataLoader(cache, cfg.train.batch_size, cfg.data,
+                       seed=cfg.train.seed, train=True, indices=tr)
+    val = DataLoader(cache, cfg.train.batch_size, cfg.data,
+                     seed=cfg.train.seed, train=False, indices=va) \
+        if len(va) >= cfg.train.batch_size else None
+    return train, val
+
+
+def _ckpt_dir(cfg, stage: str) -> str:
+    return os.path.join(cfg.ckpt_dir, f"{cfg.name}_{stage}")
+
+
+def run_train_vq(cfg, args):
+    import jax
+    from ldm3d.parallel.mesh import make_mesh
+    from ldm3d.train.callbacks import (CSVLogger, DelayedReduceLROnPlateau,
+                                       MetricsLogger, ReduceLROnPlateau)
+    from ldm3d.train.checkpoint import CheckpointManager
+    from ldm3d.train.loop import fit
+
+    mesh = make_mesh(cfg.train.mesh)
+    train_loader, val_loader = _loaders(cfg, args)
+    size = cfg.data.volume_size
+    sample = (cfg.train.batch_size, size, size, size, 2)
+
+    is_gan = cfg.model == "vqgan"
+    if is_gan:
+        from ldm3d.train.gan_trainer import GANTrainer
+        trainer = GANTrainer(cfg.vqgan, cfg.train, mesh=mesh)
+        lr_sched = DelayedReduceLROnPlateau(
+            start_epoch=cfg.vqgan.disc_threshold, monitor="val_loss",
+            factor=0.5, patience=10)
+    else:
+        from ldm3d.train.vq_trainer import VQTrainer
+        trainer = VQTrainer(cfg.vqvae, cfg.train, mesh=mesh)
+        lr_sched = ReduceLROnPlateau(monitor="val_loss", factor=0.5,
+                                     patience=10)
+
+    state = trainer.init_state(jax.random.PRNGKey(cfg.train.seed), sample)
+    ckpt = CheckpointManager(_ckpt_dir(cfg, "vq"),
+                             keep=cfg.train.keep_checkpoints,
+                             save_best_only=args.save_best_only)
+    initial_epoch = 0
+    if args.resume_ckpt is not None:
+        state, initial_epoch = ckpt.restore(jax.device_get(state),
+                                            args.resume_ckpt)
+        print(f"resumed from epoch {initial_epoch}")
+
+    logdir = _ckpt_dir(cfg, "vq")
+    state, metrics = fit(
+        trainer, state, train_loader, cfg.train.epochs,
+        val_loader=val_loader, ckpt=None if args.test_run else ckpt,
+        csv_logger=CSVLogger(os.path.join(logdir, "training.log"),
+                             append=args.resume_ckpt is not None),
+        metrics_logger=MetricsLogger(os.path.join(logdir, "metrics.jsonl"),
+                                     run_name=cfg.name),
+        lr_schedule=lr_sched,
+        replace_codebook_freq=cfg.train.replace_codebook_freq,
+        initial_epoch=initial_epoch, is_gan=is_gan)
+    ckpt.wait()
+    print("final:", {k: round(v, 6) for k, v in metrics.items()})
+    return state
+
+
+def run_test_vq(cfg, args):
+    """Reconstruct the held-out set, save original/recon .npy pairs and a
+    running MSE (reference main.py:356-370)."""
+    import jax
+    import jax.numpy as jnp
+    from ldm3d.parallel.mesh import make_mesh
+    from ldm3d.train.checkpoint import CheckpointManager
+
+    mesh = make_mesh(cfg.train.mesh)
+    _, val_loader = _loaders(cfg, args)
+    if val_loader is None:
+        raise SystemExit("validation split is empty")
+    size = cfg.data.volume_size
+    sample = (cfg.train.batch_size, size, size, size, 2)
+    if cfg.model == "vqgan":
+        from ldm3d.train.gan_trainer import GANTrainer
+        trainer = GANTrainer(cfg.vqgan, cfg.train, mesh=mesh)
+    else:
+        from ldm3d.train.vq_trainer import VQTrainer
+        trainer = VQTrainer(cfg.vqvae, cfg.train, mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(cfg.train.seed), sample)
+    ckpt = CheckpointManager(_ckpt_dir(cfg, "vq"))
+    state, epoch = ckpt.restore(jax.device_get(state), args.test_epoch)
+    print(f"testing epoch {epoch}")
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    total_mse, n = 0.0, 0
+    for i, (vol, mask, ctx) in enumerate(val_loader):
+        metrics = trainer.eval_step(state, vol, mask)
+        total_mse += float(metrics["reconst_loss"])
+        n += 1
+        if i < 4:  # save a few original/recon pairs like the reference
+            if cfg.model == "vqgan":
+                x = jnp.concatenate([vol, mask], axis=-1)
+                recon, _ = trainer.ae.apply(
+                    {"params": state.params["ae"],
+                     "vq_stats": state.vq_stats,
+                     "batch_stats": state.batch_stats["ae"]},
+                    x, training=False)
+            else:
+                recon, _ = trainer.reconstruct(state, vol, mask)
+            np.save(os.path.join(args.out_dir, f"original_{i}.npy"),
+                    np.asarray(vol, np.float32))
+            np.save(os.path.join(args.out_dir, f"reconst_{i}.npy"),
+                    np.asarray(recon[..., :1], np.float32))
+        print(f"batch {i}: " + " ".join(
+            f"{k}={float(v):.5f}" for k, v in metrics.items()))
+    print(f"mean reconst MSE over {n} batches: {total_mse / max(n, 1):.6f}")
+
+
+def _dm_trainer(cfg, args, mesh):
+    from ldm3d.train.dm_trainer import DiffusionTrainer
+    conditional = cfg.model == "conditional_dm"
+    return DiffusionTrainer(cfg.diffusion, cfg.train, mesh=mesh,
+                            conditional=conditional)
+
+
+def run_train_dm(cfg, args):
+    import jax
+    from ldm3d.parallel.mesh import make_mesh
+    from ldm3d.train.callbacks import CSVLogger, MetricsLogger
+    from ldm3d.train.checkpoint import CheckpointManager
+    from ldm3d.train.loop import fit
+
+    mesh = make_mesh(cfg.train.mesh)
+    train_loader, val_loader = _loaders(cfg, args)
+    size = cfg.data.volume_size
+    trainer = _dm_trainer(cfg, args, mesh)
+
+    vqvae_vars = None
+    if args.vqvae_load_ckpt:
+        # load stage-1 weights (reference dm3d.py:411-414)
+        from ldm3d.train.vq_trainer import VQTrainer
+        vq_tr = VQTrainer(cfg.diffusion.vqvae, cfg.train, mesh=mesh)
+        vq_state = vq_tr.init_state(jax.random.PRNGKey(0),
+                                    (cfg.train.batch_size, size, size, size,
+                                     cfg.diffusion.vqvae.in_channels))
+        vq_ckpt = CheckpointManager(args.vqvae_load_ckpt)
+        vq_state, ep = vq_ckpt.restore(jax.device_get(vq_state))
+        print(f"loaded stage-1 VQ-VAE weights from epoch {ep}")
+        vqvae_vars = {"params": vq_state.params,
+                      "vq_stats": vq_state.vq_stats,
+                      "batch_stats": vq_state.batch_stats}
+
+    state = trainer.init_state(
+        jax.random.PRNGKey(cfg.train.seed),
+        (cfg.train.batch_size, size, size, size,
+         cfg.diffusion.vqvae.in_channels), vqvae_variables=vqvae_vars)
+
+    ckpt = CheckpointManager(_ckpt_dir(cfg, "dm"),
+                             keep=cfg.train.keep_checkpoints)
+    initial_epoch = 0
+    if args.resume_ckpt is not None:
+        state, initial_epoch = ckpt.restore(jax.device_get(state),
+                                            args.resume_ckpt)
+
+    def step_fn(state, batch):
+        vol, mask, ctx = batch
+        return trainer.train_step(state, vol, ctx)
+
+    logdir = _ckpt_dir(cfg, "dm")
+    state, metrics = fit(
+        trainer, state, train_loader, cfg.train.epochs,
+        ckpt=None if args.test_run else ckpt,
+        csv_logger=CSVLogger(os.path.join(logdir, "training.log"),
+                             append=args.resume_ckpt is not None),
+        metrics_logger=MetricsLogger(os.path.join(logdir, "metrics.jsonl"),
+                                     run_name=cfg.name),
+        initial_epoch=initial_epoch, step_fn=step_fn)
+    ckpt.wait()
+    print("final:", {k: round(float(v), 8) for k, v in metrics.items()})
+    return state
+
+
+def run_test_dm(cfg, args):
+    """Generate samples end-to-end and save .npy volumes
+    (reference DiffusionModel.test, dm3d.py:534-545)."""
+    import jax
+    from ldm3d.parallel.mesh import make_mesh
+    from ldm3d.train.checkpoint import CheckpointManager
+
+    mesh = make_mesh(cfg.train.mesh)
+    size = cfg.data.volume_size
+    trainer = _dm_trainer(cfg, args, mesh)
+    state = trainer.init_state(
+        jax.random.PRNGKey(cfg.train.seed),
+        (1, size, size, size, cfg.diffusion.vqvae.in_channels))
+    ckpt = CheckpointManager(_ckpt_dir(cfg, "dm"))
+    state, epoch = ckpt.restore(jax.device_get(state), args.test_epoch)
+    print(f"sampling from epoch {epoch} ({cfg.diffusion.timesteps} steps)")
+
+    f = cfg.diffusion.vqvae.spatial_factor
+    lat = size // f
+    shape = (4, lat, lat, lat, cfg.diffusion.latent_channels)
+    os.makedirs(args.out_dir, exist_ok=True)
+    contexts = [0, 1] if cfg.model == "conditional_dm" else [None]
+    for ctx in contexts:
+        out = trainer.generate(state, jax.random.PRNGKey(7), shape,
+                               context_value=ctx)
+        tag = f"-ctx{ctx}" if ctx is not None else ""
+        path = os.path.join(
+            args.out_dir,
+            f"{cfg.name}-{cfg.diffusion.timesteps}rsteps{tag}.npy")
+        np.save(path, np.asarray(out, np.float32))
+        print("saved", path, out.shape)
+
+
+def run_create_dataset(cfg, args):
+    from ldm3d.data.pipeline import build_cache, write_synthetic_cache
+    if args.synthetic:
+        write_synthetic_cache(cfg.data.cache_dir, args.num_synthetic,
+                              cfg.data.volume_size, seed=cfg.train.seed)
+        print(f"synthetic cache at {cfg.data.cache_dir}")
+    else:
+        build_cache(cfg.data)
+        print(f"cache at {cfg.data.cache_dir}")
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        if args.cpu_devices:
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "xla_force_host_platform_device_count" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    flags + " --xla_force_host_platform_device_count="
+                    f"{args.cpu_devices}").strip()
+        import jax
+        jax.config.update("jax_platforms",
+                          "cpu" if args.platform == "cpu" else "axon")
+    from ldm3d.core.presets import get_preset
+    cfg = apply_overrides(get_preset(args.preset), args)
+
+    if args.profile:
+        import jax
+        jax.profiler.start_trace(os.path.join(cfg.ckpt_dir, "trace"))
+
+    if args.create_dataset:
+        run_create_dataset(cfg, args)
+    if args.train_vq:
+        run_train_vq(cfg, args)
+    if args.test_vq:
+        run_test_vq(cfg, args)
+    if args.train_dm:
+        run_train_dm(cfg, args)
+    if args.test_dm:
+        run_test_dm(cfg, args)
+    if not any([args.create_dataset, args.train_vq, args.test_vq,
+                args.train_dm, args.test_dm]):
+        print("nothing to do: pass --train_vq/--test_vq/--train_dm/"
+              "--test_dm/--create_dataset")
+
+    if args.profile:
+        import jax
+        jax.profiler.stop_trace()
+
+
+if __name__ == "__main__":
+    main()

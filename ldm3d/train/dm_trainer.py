@@ -83,8 +83,9 @@ class DiffusionTrainer:
         dtype = jnp.bfloat16 if train_cfg.dtype == "bfloat16" else jnp.float32
         self.model = LatentDiffusion(cfg, dtype=dtype)
         self.sched = make_schedule(cfg.timesteps, cfg.beta_start, cfg.beta_end)
-        self.tx = optax.adam(train_cfg.learning_rate, b1=train_cfg.adam_b1,
-                             b2=train_cfg.adam_b2)
+        self.tx = optax.inject_hyperparams(optax.adam)(
+            learning_rate=train_cfg.learning_rate, b1=train_cfg.adam_b1,
+            b2=train_cfg.adam_b2)
         self._train_step = self._build_train_step()
         self._generate = None  # compiled lazily per latent shape
 

@@ -60,10 +60,12 @@ class GANTrainer:
         self.lpips = LPIPS(dtype=jnp.float32)
         self.d_loss = vanilla_d_loss if cfg.disc_loss_fn == "vanilla" \
             else hinge_d_loss
-        self.ae_tx = optax.adam(train_cfg.learning_rate, b1=train_cfg.adam_b1,
-                                b2=train_cfg.adam_b2)
-        self.disc_tx = optax.adam(train_cfg.disc_learning_rate,
-                                  b1=train_cfg.adam_b1, b2=train_cfg.adam_b2)
+        self.ae_tx = optax.inject_hyperparams(optax.adam)(
+            learning_rate=train_cfg.learning_rate, b1=train_cfg.adam_b1,
+            b2=train_cfg.adam_b2)
+        self.disc_tx = optax.inject_hyperparams(optax.adam)(
+            learning_rate=train_cfg.disc_learning_rate,
+            b1=train_cfg.adam_b1, b2=train_cfg.adam_b2)
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
 

@@ -1,0 +1,118 @@
+"""The epoch training loop — the framework's `Model.fit`.
+
+Replaces the Keras fit + callback stack the reference drives from its entry
+points (reference main.py:263-271: ModelCheckpoint + CSVLogger +
+ReduceLROnPlateau + ReplaceCodebookCallback; main_exp_vqgan_attn.py:89-102
+adds EpochCounter + DelayedReduceLROnPlateau). One loop serves all three
+trainer families (VQ-VAE, VQ-GAN, diffusion); everything inside the epoch is
+jit-compiled steps, everything between epochs is pure state transitions.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from ldm3d.train.callbacks import CSVLogger, MetricsLogger, ReduceLROnPlateau
+from ldm3d.train.checkpoint import CheckpointManager
+
+
+def _mean_metrics(history):
+    out = {}
+    for k in history[0]:
+        out[k] = float(np.mean([float(h[k]) for h in history]))
+    return out
+
+
+def fit(trainer, state, train_loader, epochs: int,
+        val_loader=None,
+        ckpt: Optional[CheckpointManager] = None,
+        csv_logger: Optional[CSVLogger] = None,
+        metrics_logger: Optional[MetricsLogger] = None,
+        lr_schedule: Optional[ReduceLROnPlateau] = None,
+        replace_codebook_freq: int = 0,
+        initial_epoch: int = 0,
+        step_fn: Optional[Callable] = None,
+        eval_fn: Optional[Callable] = None,
+        is_gan: bool = False,
+        rng=None,
+        verbose: bool = True):
+    """Train for `epochs`, returning the final state and the last metrics.
+
+    - `step_fn(state, batch) -> (state, metrics)` defaults to
+      `trainer.train_step(state, vol, mask)`.
+    - `replace_codebook_freq` mirrors ReplaceCodebookCallback(frequency=10)
+      (reference vqvae3d_monai.py:100-109).
+    - `is_gan` advances the epoch counter used for discriminator warm-up.
+    """
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    last_metrics: Dict[str, float] = {}
+
+    for epoch in range(initial_epoch, epochs):
+        t0 = time.time()
+        history = []
+        num_batches = 0
+        for batch in train_loader:
+            if step_fn is not None:
+                state, metrics = step_fn(state, batch)
+            else:
+                vol, mask = batch[0], batch[1]
+                state, metrics = trainer.train_step(state, vol, mask)
+            history.append(metrics)
+            num_batches += 1
+        if not history:
+            raise ValueError("empty training loader")
+        train_metrics = _mean_metrics(history)
+
+        val_metrics = {}
+        if val_loader is not None:
+            vh = []
+            for batch in val_loader:
+                if eval_fn is not None:
+                    vh.append(eval_fn(state, batch))
+                else:
+                    vh.append(trainer.eval_step(state, batch[0], batch[1]))
+            if vh:
+                val_metrics = {f"val_{k}": v
+                               for k, v in _mean_metrics(vh).items()}
+
+        last_metrics = {**train_metrics, **val_metrics}
+
+        # -- between-epoch state transitions --
+        if is_gan:
+            state = trainer.next_epoch(state)
+        if (replace_codebook_freq and
+                (epoch + 1) % replace_codebook_freq == 0 and
+                hasattr(trainer, "replace_unused")):
+            rng, sub = jax.random.split(rng)
+            state, n_replaced = trainer.replace_unused(state, num_batches, sub)
+            last_metrics["codebooks_replaced"] = float(n_replaced)
+        if lr_schedule is not None:
+            new_opt, reduced = lr_schedule(epoch, last_metrics,
+                                           state.opt_state)
+            if reduced:
+                state = state.replace(opt_state=new_opt)
+                if verbose:
+                    from ldm3d.train.callbacks import get_learning_rate
+                    print(f"epoch {epoch + 1}: lr -> "
+                          f"{get_learning_rate(new_opt):.2e}")
+
+        # -- logging / checkpointing --
+        if csv_logger is not None:
+            csv_logger(epoch, last_metrics)
+        if metrics_logger is not None:
+            metrics_logger(epoch, last_metrics)
+        if ckpt is not None:
+            monitor = last_metrics.get("val_loss", last_metrics.get("loss"))
+            ckpt.save(epoch + 1, jax.device_get(state), metric=monitor)
+        if verbose:
+            dt = time.time() - t0
+            msg = " ".join(f"{k}={v:.5f}" for k, v in last_metrics.items()
+                           if isinstance(v, float))
+            print(f"epoch {epoch + 1}/{epochs} [{dt:.1f}s "
+                  f"{num_batches} steps] {msg}")
+
+    return state, last_metrics

@@ -32,8 +32,14 @@ from ldm3d.parallel.mesh import batch_sharding, replicated
 from ldm3d.train.state import TrainState
 
 
-def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    return optax.adam(cfg.learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2)
+def make_optimizer(cfg: TrainConfig, lr: float | None = None
+                   ) -> optax.GradientTransformation:
+    """Adam with the LR injected as opt-state hyperparameter so plateau
+    schedulers (ldm3d/train/callbacks.py) can adjust it without
+    recompiling the jitted step."""
+    return optax.inject_hyperparams(optax.adam)(
+        learning_rate=lr if lr is not None else cfg.learning_rate,
+        b1=cfg.adam_b1, b2=cfg.adam_b2)
 
 
 class VQTrainer:
