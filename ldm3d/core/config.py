@@ -66,8 +66,14 @@ class VQVAEConfig:
     dropout: float = 0.0
     kernel_resize: bool = False        # ICNR checkerboard-free transpose init
     norm: str = "batch"                # "batch" | "group" (vqgan_attn_cp uses group)
-    act: str = "relu"
+    act: str = "relu"                  # relu|silu|swish|leaky_relu|siren (vqgan.py:23-29)
     output_act: Optional[str] = None
+    # autoencoder architecture family when used inside a VQ-GAN:
+    #   "attn_cp": GroupNorm/SiLU k3 stem + k4-s2 downs (vqgan_attn_cp.py)
+    #   "monai":   MONAI encoder/decoder + BatchNorm (vqgan.py / vqgan_gnorm.py)
+    #   "stride":  res-units BEFORE stride-1 convs + AveragePooling3D downs,
+    #              UpSampling3D decoder (vqgan_stride.py:323-340,454)
+    arch: str = "attn_cp"
     quantizer: QuantizerConfig = field(default_factory=QuantizerConfig)
 
     @property
@@ -89,6 +95,8 @@ class DiscriminatorConfig:
     num_channels: Tuple[int, ...] = (32, 64, 128)
     use_sigmoid: bool = False
     get_interm_feat: bool = True
+    head: str = "conv"                 # "conv" (PatchGAN, vqgan_attn_cp) |
+                                       # "dense" (vqgan_gnorm.py:523-536)
 
 
 @dataclass(frozen=True)
@@ -102,6 +110,8 @@ class VQGANConfig:
     disc: DiscriminatorConfig = field(default_factory=DiscriminatorConfig)
     disc_threshold: int = 40           # epochs before discriminator kicks in
     disc_loss_fn: str = "vanilla"      # "vanilla" | "hinge"
+    g_adv_style: str = "wgan"          # "wgan": -mean(fake) (attn_cp :736-739)
+                                       # | "bce": disc_loss(1, fake) (vqgan.py)
     disc_wt: float = 0.8
     lpips_wt: float = 4.0
     gan_feat_wt: float = 4.0

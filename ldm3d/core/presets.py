@@ -140,6 +140,62 @@ def _vqgan_attn() -> ExperimentConfig:
                           disc_learning_rate=1e-4, adam_b1=0.5, adam_b2=0.9))
 
 
+@register("vqgan_baseline")
+def _vqgan_baseline() -> ExperimentConfig:
+    """reference main_exp_vqgan.py: MONAI ae + BatchNorm, Dense disc head,
+    BCE generator loss, disc lr 1e-5 (main_exp_vqgan.py:59-60)."""
+    ae = VQVAEConfig(
+        in_channels=2, out_channels=2, num_res_layers=3, norm="batch",
+        act="prelu" if False else "relu", arch="monai",
+        **_levels((32, 64, 128)),
+        quantizer=QuantizerConfig(kind="ste", num_embeddings=512,
+                                  embedding_dim=256))
+    gan = VQGANConfig(
+        ae=ae, disc=DiscriminatorConfig(num_channels=(32, 64, 128),
+                                        head="dense"),
+        disc_threshold=40, g_adv_style="bce", disc_loss_fn="vanilla")
+    return ExperimentConfig(
+        name="vqgan_baseline", model="vqgan", vqgan=gan,
+        train=TrainConfig(batch_size=2, learning_rate=1e-4,
+                          disc_learning_rate=1e-5))
+
+
+@register("vqgan_gnorm")
+def _vqgan_gnorm() -> ExperimentConfig:
+    """reference main_exp_vqgan_gnorm.py: GroupNorm everywhere, Dense disc
+    head, separate loss weights (vqgan_gnorm.py:826-828)."""
+    ae = VQVAEConfig(
+        in_channels=2, out_channels=2, num_res_layers=3, norm="group",
+        arch="monai", **_levels((32, 64, 128)),
+        quantizer=QuantizerConfig(kind="ste", num_embeddings=512,
+                                  embedding_dim=256))
+    gan = VQGANConfig(
+        ae=ae, disc=DiscriminatorConfig(num_channels=(32, 64, 128),
+                                        head="dense"),
+        disc_threshold=40, g_adv_style="bce",
+        disc_wt=0.8, lpips_wt=4.0, gan_feat_wt=4.0, g_loss_adv_wt=1.0)
+    return ExperimentConfig(
+        name="vqgan_gnorm", model="vqgan", vqgan=gan,
+        train=TrainConfig(batch_size=2, learning_rate=1e-4))
+
+
+@register("vqgan_stride")
+def _vqgan_stride() -> ExperimentConfig:
+    """reference main_exp_vqgan_stride.py: res-before-conv + avg-pool downs,
+    UpSampling3D decoder."""
+    ae = VQVAEConfig(
+        in_channels=2, out_channels=2, num_res_layers=3, norm="batch",
+        arch="stride", **_levels((32, 64, 128)),
+        quantizer=QuantizerConfig(kind="ste", num_embeddings=512,
+                                  embedding_dim=256))
+    gan = VQGANConfig(
+        ae=ae, disc=DiscriminatorConfig(num_channels=(32, 64, 128)),
+        disc_threshold=40, g_adv_style="bce")
+    return ExperimentConfig(
+        name="vqgan_stride", model="vqgan", vqgan=gan,
+        train=TrainConfig(batch_size=2, learning_rate=1e-4))
+
+
 def _dm(conditional: bool, timesteps: int) -> ExperimentConfig:
     unet = UNetConfig(
         widths=(64, 128, 256), has_attention=(False, False, True, True),

@@ -104,6 +104,65 @@ class VQGANDecoder(nn.Module):
         return x
 
 
+class StrideEncoder(nn.Module):
+    """'stride' variant encoder: residual units BEFORE each conv, conv
+    stride 1, downsampling by AveragePooling3D(2)
+    (reference vqgan_stride.py:323-340 with the runner's stride-1 params,
+    main_exp_vqgan_stride.py:26-27)."""
+
+    cfg: VQVAEConfig
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = True) -> jax.Array:
+        from ldm3d.models.layers import avgpool3d, get_act
+        from ldm3d.models.vqvae import VQVAEResidualUnit
+        cfg = self.cfg
+        for i, ch in enumerate(cfg.num_channels):
+            for j in range(cfg.num_res_layers):
+                in_ch = x.shape[-1]
+                x = VQVAEResidualUnit(in_ch, cfg.num_res_channels[i],
+                                      act=cfg.act, norm=cfg.norm,
+                                      dtype=self.dtype,
+                                      name=f"res_{i}_{j}")(x, training)
+            x = conv3d(ch, 4, stride=1, dtype=self.dtype,
+                       name=f"conv_{i}")(x)
+            x = get_act(cfg.act)(x)
+            x = avgpool3d(x, 2)
+        return conv3d(cfg.quantizer.embedding_dim, 3, dtype=self.dtype,
+                      name="to_latent")(x)
+
+
+class StrideDecoder(nn.Module):
+    """'stride' variant decoder: UpSampling3D(2) + conv instead of transpose
+    convs (reference vqgan_stride.py:454)."""
+
+    cfg: VQVAEConfig
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = True) -> jax.Array:
+        from ldm3d.models.layers import get_act, upsample3d
+        from ldm3d.models.vqvae import VQVAEResidualUnit
+        cfg = self.cfg
+        rev = list(reversed(cfg.num_channels))
+        rev_res = list(reversed(cfg.num_res_channels))
+        x = conv3d(rev[0], 3, dtype=self.dtype, name="stem")(x)
+        for i in range(len(rev)):
+            for j in range(cfg.num_res_layers):
+                x = VQVAEResidualUnit(rev[i], rev_res[i], act=cfg.act,
+                                      norm=cfg.norm, dtype=self.dtype,
+                                      name=f"res_{i}_{j}")(x, training)
+            x = upsample3d(x, 2)
+            out_ch = cfg.out_channels if i == len(rev) - 1 else rev[i + 1] \
+                if i + 1 < len(rev) else cfg.out_channels
+            x = conv3d(out_ch, 4, stride=1, dtype=self.dtype,
+                       name=f"conv_{i}")(x)
+            if i != len(rev) - 1:
+                x = get_act(cfg.act)(x)
+        return x
+
+
 class Discriminator3D(nn.Module):
     """PatchGAN over volumes (reference vqgan_attn_cp.py:430-497)."""
 
@@ -127,7 +186,15 @@ class Discriminator3D(nn.Module):
         x = Norm("batch", dtype=self.dtype, name="tail_norm")(x, training)
         x = jax.nn.leaky_relu(x, 0.2)
         feats.append(x)
-        logits = conv3d(1, 4, stride=1, dtype=self.dtype, name="head")(x)
+        if self.cfg.head == "dense":
+            # gnorm/baseline variant: flatten -> Dense stack head
+            # (reference vqgan_gnorm.py:523-536)
+            h = x.reshape(x.shape[0], -1)
+            h = nn.Dense(64, dtype=self.dtype, name="dense1")(h)
+            h = jax.nn.leaky_relu(h, 0.2)
+            logits = nn.Dense(1, dtype=self.dtype, name="dense2")(h)
+        else:
+            logits = conv3d(1, 4, stride=1, dtype=self.dtype, name="head")(x)
         if self.cfg.use_sigmoid:
             logits = jax.nn.sigmoid(logits)
         feats.append(logits)
@@ -166,14 +233,25 @@ class Discriminator2D(nn.Module):
 
 
 class VQGANAutoencoder(nn.Module):
-    """Encoder -> EMA quantizer -> decoder (generator side)."""
+    """Encoder -> quantizer -> decoder (generator side). The architecture
+    family comes from cfg.arch: 'attn_cp' (GroupNorm/SiLU), 'monai'
+    (vqgan.py/vqgan_gnorm.py: the MONAI autoencoder of models/vqvae.py with
+    the configured norm/act), or 'stride' (avgpool/upsample)."""
 
     cfg: VQVAEConfig
     dtype: Any = jnp.bfloat16
 
     def setup(self):
-        self.encoder = VQGANEncoder(self.cfg, dtype=self.dtype)
-        self.decoder = VQGANDecoder(self.cfg, dtype=self.dtype)
+        if self.cfg.arch == "monai":
+            from ldm3d.models.vqvae import Decoder, Encoder
+            self.encoder = Encoder(self.cfg, dtype=self.dtype)
+            self.decoder = Decoder(self.cfg, dtype=self.dtype)
+        elif self.cfg.arch == "stride":
+            self.encoder = StrideEncoder(self.cfg, dtype=self.dtype)
+            self.decoder = StrideDecoder(self.cfg, dtype=self.dtype)
+        else:
+            self.encoder = VQGANEncoder(self.cfg, dtype=self.dtype)
+            self.decoder = VQGANDecoder(self.cfg, dtype=self.dtype)
         self.quantizer = make_quantizer(self.cfg.quantizer)
 
     def __call__(self, x: jax.Array,

@@ -162,7 +162,14 @@ class GANTrainer:
         real_logits2_g, real_feat2_g = self.disc2d.apply(
             d2_vars_g, frames, training=False)
 
-        g_adv = -jnp.mean(fake_logits_g) - jnp.mean(fake_logits2_g)
+        if cfg.g_adv_style == "bce":
+            # baseline/gnorm generator loss: fool the critic via the
+            # discriminator loss with real labels (reference vqgan.py)
+            g_adv = (self.d_loss(True, fake_logits_g)
+                     + self.d_loss(True, fake_logits2_g))
+        else:
+            # WGAN-style -mean(fake) (reference vqgan_attn_cp.py:736-739)
+            g_adv = -jnp.mean(fake_logits_g) - jnp.mean(fake_logits2_g)
         feat_w = 4.0 / (3 + 1)
         feat_loss = 0.0
         for fa, fb in zip(fake_feat_g[:-1], real_feat_g[:-1]):
