@@ -148,17 +148,30 @@ class DataLoader:
 
     def _host_batches(self, order: np.ndarray) -> Iterator:
         bs = self.batch_size
+        reader = self.cache._reader
+        s = self.cache.volume_size
         for i in range(len(order) // bs):
-            idxs = order[i * bs:(i + 1) * bs]
-            imgs, masks, ctxs = [], [], []
-            for j in idxs:
-                img, mask, ctx = self.cache.read(int(j))
-                imgs.append(img)
-                masks.append(mask)
-                ctxs.append(ctx)
-            yield (np.stack(imgs).astype(np.float32),
-                   np.stack(masks).astype(np.float32),
-                   np.asarray(ctxs, np.int32))
+            idxs = [int(j) for j in order[i * bs:(i + 1) * bs]]
+            entries = [self.cache.entries[j] for j in idxs]
+            ctxs = np.asarray([e["context"] for e in entries], np.int32)
+            if reader is not None:
+                # native path: the C++ pool reads + widens all 2*bs files
+                # in parallel without the GIL (runtime/dataio.cpp)
+                imgs = np.empty((bs, s, s, s, 1), np.float32)
+                masks = np.empty((bs, s, s, s, 1), np.float32)
+                d = self.cache.cache_dir
+                reader.read_batch(
+                    [os.path.join(d, e["stem"] + "_img.npy")
+                     for e in entries], imgs)
+                reader.read_batch(
+                    [os.path.join(d, e["stem"] + "_mask.npy")
+                     for e in entries], masks)
+                yield imgs, masks, ctxs
+            else:
+                rows = [self.cache.read(j) for j in idxs]
+                yield (np.stack([r[0] for r in rows]).astype(np.float32),
+                       np.stack([r[1] for r in rows]).astype(np.float32),
+                       ctxs)
 
     def __iter__(self) -> Iterator:
         rng = np.random.default_rng(self.seed + self._epoch)
