@@ -77,6 +77,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out_dir", default="./generated_images_dm3d")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of a few steps")
+    p.add_argument("--sweep", type=str, default=None,
+                   help="path to a W&B-schema sweep yaml; runs train_vq "
+                        "for each point (reference sweep.yaml + wandb agent)")
+    p.add_argument("--sweep_count", type=int, default=None,
+                   help="number of sweep points (random/bayes methods)")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force a JAX backend (this environment's "
                         "sitecustomize pins the TPU; --platform cpu "
@@ -372,6 +377,52 @@ def run_test_dm(cfg, args):
         print("saved", path, out.shape)
 
 
+def run_sweep(cfg, args):
+    """Sequential sweep agent: expand the yaml, train each point, record
+    the result table (reference: wandb agent over sweep.yaml)."""
+    import json
+    from ldm3d.core.sweep import apply_sweep_point, expand_sweep, \
+        parse_sweep_yaml
+
+    with open(args.sweep) as f:
+        spec = parse_sweep_yaml(f.read())
+    points = expand_sweep(spec, count=args.sweep_count,
+                          seed=cfg.train.seed)
+    metric = spec.get("metric", {}).get("name", "val_loss")
+    print(f"sweep: {len(points)} points, optimizing {metric}")
+    results = []
+    results_path = os.path.join(cfg.ckpt_dir, "sweep_results.jsonl")
+    os.makedirs(cfg.ckpt_dir, exist_ok=True)
+    for i, point in enumerate(points):
+        run_cfg = apply_sweep_point(cfg, point)
+        print(f"--- sweep point {i + 1}/{len(points)}: {run_cfg.name}")
+        try:
+            state = run_train_vq(run_cfg, args)
+            from ldm3d.train.callbacks import MetricsLogger  # noqa: F401
+            # final metrics were printed by fit(); re-read from csv tail
+            log = os.path.join(_ckpt_dir(run_cfg, "vq"), "training.log")
+            last = {}
+            if os.path.exists(log):
+                import csv as _csv
+                with open(log) as lf:
+                    rows = list(_csv.DictReader(lf))
+                if rows:
+                    last = {k: float(v) for k, v in rows[-1].items()}
+            rec = {"name": run_cfg.name, "point": {
+                k: (list(v) if isinstance(v, tuple) else v)
+                for k, v in point.items()}, "metrics": last}
+        except Exception as e:  # keep sweeping past failed points
+            rec = {"name": run_cfg.name, "error": str(e)}
+        results.append(rec)
+        with open(results_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+    scored = [r for r in results if r.get("metrics", {}).get(metric)
+              is not None]
+    if scored:
+        best = min(scored, key=lambda r: r["metrics"][metric])
+        print(f"best: {best['name']} {metric}={best['metrics'][metric]:.6f}")
+
+
 def run_create_dataset(cfg, args):
     from ldm3d.data.pipeline import build_cache, write_synthetic_cache
     if args.synthetic:
@@ -402,6 +453,9 @@ def main(argv=None):
         import jax
         jax.profiler.start_trace(os.path.join(cfg.ckpt_dir, "trace"))
 
+    if args.sweep:
+        run_sweep(cfg, args)
+        return
     if args.create_dataset:
         run_create_dataset(cfg, args)
     if args.train_vq:
