@@ -29,10 +29,11 @@ def main():
     batch = 1
     trainer = DiffusionTrainer(cfg, TrainConfig(batch_size=batch),
                                conditional=True)
-    # init at 64^3: identical param tree to a 128^3 init (conv params are
-    # spatial-size-agnostic), much cheaper to trace. Decode still runs at
-    # full 8^3 latents -> 128^3 volumes.
-    state = trainer.init_state(jax.random.PRNGKey(0), (batch, 64, 64, 64, 1))
+    # Init at the real 128^3 image shape: the conditional U-Net's
+    # ContextMLP params depend on the latent spatial size (8^3 here), so
+    # init and sampling shapes must match.
+    state = trainer.init_state(jax.random.PRNGKey(0),
+                               (batch, 128, 128, 128, 1))
     lat_shape = (batch, cfg.latent_size, cfg.latent_size, cfg.latent_size,
                  cfg.latent_channels)
     fn = trainer.generate_fn(lat_shape, decode=True)
