@@ -74,6 +74,10 @@ class VQVAEConfig:
     #   "stride":  res-units BEFORE stride-1 convs + AveragePooling3D downs,
     #              UpSampling3D decoder (vqgan_stride.py:323-340,454)
     arch: str = "attn_cp"
+    # Rematerialize residual units in the backward pass (jax.checkpoint):
+    # trades ~15% step-time FLOPs for the activation memory that otherwise
+    # caps the 128^3 global batch at 2-3 per chip (16G HBM).
+    remat: bool = False
     quantizer: QuantizerConfig = field(default_factory=QuantizerConfig)
 
     @property

@@ -61,7 +61,7 @@ def _levels(channels, k=4, s=2):
 @register("vqvae_b8_all")
 def _vqvae_b8_all() -> ExperimentConfig:
     vq = VQVAEConfig(
-        in_channels=2, out_channels=2, num_res_layers=3,
+        remat=True, in_channels=2, out_channels=2, num_res_layers=3,
         **_levels((32, 64, 128)),
         quantizer=QuantizerConfig(kind="ste", num_embeddings=512,
                                   embedding_dim=256))
@@ -73,7 +73,7 @@ def _vqvae_b8_all() -> ExperimentConfig:
 @register("vqvae_5level_test")
 def _vqvae_5level() -> ExperimentConfig:
     vq = VQVAEConfig(
-        in_channels=2, out_channels=2, num_res_layers=3,
+        remat=True, in_channels=2, out_channels=2, num_res_layers=3,
         **_levels((32, 64, 128, 256, 512)),
         quantizer=QuantizerConfig(kind="ste", num_embeddings=1024,
                                   embedding_dim=512))
@@ -83,7 +83,7 @@ def _vqvae_5level() -> ExperimentConfig:
 @register("vqvae_dm_stage1")
 def _vqvae_dm_stage1() -> ExperimentConfig:
     vq = VQVAEConfig(
-        in_channels=1, out_channels=1, num_res_layers=5,
+        remat=True, in_channels=1, out_channels=1, num_res_layers=5,
         **_levels((32, 64, 128, 256)),
         quantizer=QuantizerConfig(kind="ste", num_embeddings=1024,
                                   embedding_dim=256))
@@ -93,7 +93,7 @@ def _vqvae_dm_stage1() -> ExperimentConfig:
 @register("nsvqvae")
 def _nsvqvae() -> ExperimentConfig:
     vq = VQVAEConfig(
-        in_channels=1, out_channels=1, num_res_layers=3,
+        remat=True, in_channels=1, out_channels=1, num_res_layers=3,
         **_levels((32, 64, 128, 256)), act="swish",
         quantizer=QuantizerConfig(kind="nsvq", num_embeddings=512,
                                   embedding_dim=256,
@@ -105,7 +105,7 @@ def _nsvqvae() -> ExperimentConfig:
 @register("rnsvqvae")
 def _rnsvqvae() -> ExperimentConfig:
     vq = VQVAEConfig(
-        in_channels=1, out_channels=1, num_res_layers=3,
+        remat=True, in_channels=1, out_channels=1, num_res_layers=3,
         **_levels((32, 64, 128)),
         quantizer=QuantizerConfig(kind="rnsvq", num_embeddings=256,
                                   embedding_dim=128, num_stages=4,
@@ -117,7 +117,7 @@ def _rnsvqvae() -> ExperimentConfig:
 @register("emavqvae")
 def _emavqvae() -> ExperimentConfig:
     vq = VQVAEConfig(
-        in_channels=1, out_channels=1, num_res_layers=2,
+        remat=True, in_channels=1, out_channels=1, num_res_layers=2,
         **_levels((16, 32, 64, 128)),
         quantizer=QuantizerConfig(kind="ema_sonnet", num_embeddings=512,
                                   embedding_dim=128, commitment_cost=6.0))
@@ -127,7 +127,7 @@ def _emavqvae() -> ExperimentConfig:
 @register("vqgan_attn")
 def _vqgan_attn() -> ExperimentConfig:
     ae = VQVAEConfig(
-        in_channels=2, out_channels=2, num_res_layers=1, norm="group",
+        remat=True, in_channels=2, out_channels=2, num_res_layers=1, norm="group",
         act="silu", **_levels((32, 64, 128)),
         quantizer=QuantizerConfig(kind="ema", num_embeddings=512,
                                   embedding_dim=256))
@@ -145,7 +145,7 @@ def _vqgan_baseline() -> ExperimentConfig:
     """reference main_exp_vqgan.py: MONAI ae + BatchNorm, Dense disc head,
     BCE generator loss, disc lr 1e-5 (main_exp_vqgan.py:59-60)."""
     ae = VQVAEConfig(
-        in_channels=2, out_channels=2, num_res_layers=3, norm="batch",
+        remat=True, in_channels=2, out_channels=2, num_res_layers=3, norm="batch",
         act="prelu" if False else "relu", arch="monai",
         **_levels((32, 64, 128)),
         quantizer=QuantizerConfig(kind="ste", num_embeddings=512,
@@ -165,7 +165,7 @@ def _vqgan_gnorm() -> ExperimentConfig:
     """reference main_exp_vqgan_gnorm.py: GroupNorm everywhere, Dense disc
     head, separate loss weights (vqgan_gnorm.py:826-828)."""
     ae = VQVAEConfig(
-        in_channels=2, out_channels=2, num_res_layers=3, norm="group",
+        remat=True, in_channels=2, out_channels=2, num_res_layers=3, norm="group",
         arch="monai", **_levels((32, 64, 128)),
         quantizer=QuantizerConfig(kind="ste", num_embeddings=512,
                                   embedding_dim=256))
@@ -184,7 +184,7 @@ def _vqgan_stride() -> ExperimentConfig:
     """reference main_exp_vqgan_stride.py: res-before-conv + avg-pool downs,
     UpSampling3D decoder."""
     ae = VQVAEConfig(
-        in_channels=2, out_channels=2, num_res_layers=3, norm="batch",
+        remat=True, in_channels=2, out_channels=2, num_res_layers=3, norm="batch",
         arch="stride", **_levels((32, 64, 128)),
         quantizer=QuantizerConfig(kind="ste", num_embeddings=512,
                                   embedding_dim=256))
@@ -203,7 +203,7 @@ def _dm(conditional: bool, timesteps: int) -> ExperimentConfig:
         first_conv_channels=32 if conditional else 64,
         context_dim=1 if conditional else None)
     vq = VQVAEConfig(
-        in_channels=1, out_channels=1, num_res_layers=5,
+        remat=True, in_channels=1, out_channels=1, num_res_layers=5,
         **_levels((32, 64, 128, 256)),
         quantizer=QuantizerConfig(kind="ste", num_embeddings=1024,
                                   embedding_dim=256))

@@ -48,6 +48,16 @@ class VQVAEResidualUnit(nn.Module):
         return jax.nn.relu(x + h)
 
 
+def _res_unit(cfg: VQVAEConfig):
+    """VQVAEResidualUnit, optionally rematerialized: with cfg.remat the
+    unit's activations are recomputed in the backward pass instead of held
+    in HBM for the whole step — the jax.checkpoint memory/FLOPs trade that
+    lifts the 128^3 per-chip batch ceiling."""
+    if cfg.remat:
+        return nn.remat(VQVAEResidualUnit, static_argnums=(2,))
+    return VQVAEResidualUnit
+
+
 class Encoder(nn.Module):
     """reference networks/vqvae3d_monai.py:237-306."""
 
@@ -65,7 +75,7 @@ class Encoder(nn.Module):
                 x = nn.Dropout(cfg.dropout, deterministic=not training)(x)
             x = jax.nn.relu(x)
             for j in range(cfg.num_res_layers):
-                x = VQVAEResidualUnit(
+                x = _res_unit(cfg)(
                     ch, cfg.num_res_channels[i], act=cfg.act, norm=cfg.norm,
                     dtype=self.dtype, name=f"res_{i}_{j}")(x, training)
         x = conv3d(cfg.quantizer.embedding_dim, 3, dtype=self.dtype,
@@ -96,7 +106,7 @@ class Decoder(nn.Module):
         n = len(rev_channels)
         for i in range(n):
             for j in range(cfg.num_res_layers):
-                x = VQVAEResidualUnit(
+                x = _res_unit(cfg)(
                     rev_channels[i], rev_res_channels[i], act=cfg.act,
                     norm=cfg.norm, dtype=self.dtype,
                     name=f"res_{i}_{j}")(x, training)

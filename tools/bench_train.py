@@ -1,0 +1,108 @@
+"""Training-step throughput benchmarks on the real chip.
+
+The reference's only recorded performance numbers are *training* step times
+(BASELINE.md): 43-44 s/step for the 3-level MONAI VQ-VAE at global batch 8
+(128^3, 2-channel) and 22 s/step for the latent DDPM at global batch 8,
+both on 4x V100-32GB under MirroredStrategy. This script measures the same
+two steps on a single TPU chip and prints one JSON line per benchmark with
+`vs_baseline` = reference seconds-per-volume divided by measured
+seconds-per-volume (so >1 means faster per accelerator-volume than the
+reference's per-4-GPU-volume).
+
+Run: python tools/bench_train.py [--batch N] [--runs N]
+Results are recorded in PERF.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+# reference seconds per volume = step_time * n_gpus-normalized? No: the bar
+# used everywhere in BASELINE.md is seconds/volume of the whole 4-GPU node:
+# 43.5 s / 8 vols and 22 s / 8 vols. One TPU chip beating the whole node
+# per-volume is the honest comparison.
+VQ_REF_S_PER_VOL = 43.5 / 8.0
+DM_REF_S_PER_VOL = 22.0 / 8.0
+
+
+def bench_step(fn, state, args_fn, runs):
+    state, m = fn(state, *args_fn(0))       # compile + warmup
+    float(m["loss"])  # scalar fetch drains the pipeline (block_until_ready
+    # on the donated state pytree returns early through the axon relay)
+    t0 = time.perf_counter()
+    for i in range(runs):
+        state, m = fn(state, *args_fn(i + 1))
+    float(m["loss"])
+    return (time.perf_counter() - t0) / runs
+
+
+def bench_vqvae(batch, runs):
+    from ldm3d.core.presets import get_preset
+    from ldm3d.train.vq_trainer import VQTrainer
+
+    cfg = get_preset("vqvae_b8_all")
+    trainer = VQTrainer(cfg.vqvae, cfg.train)
+    shape = (batch, 128, 128, 128, 2)
+    state = trainer.init_state(jax.random.PRNGKey(0), shape)
+    vol = jax.random.uniform(jax.random.PRNGKey(1),
+                             (batch, 128, 128, 128, 1), jnp.float32)
+    mask = jnp.ones_like(vol)
+
+    dt = bench_step(trainer.train_step, state, lambda i: (vol, mask), runs)
+    s_per_vol = dt / batch
+    print(json.dumps({
+        "metric": "vqvae_b8_train_step_128^3",
+        "value": round(dt, 4), "unit": "s/step",
+        "batch": batch,
+        "s_per_volume": round(s_per_vol, 4),
+        "vs_baseline": round(VQ_REF_S_PER_VOL / s_per_vol, 2),
+    }))
+
+
+def bench_dm(batch, runs):
+    from __graft_entry__ import _flagship_cfg
+    from ldm3d.core.config import TrainConfig
+    from ldm3d.train.dm_trainer import DiffusionTrainer
+
+    cfg = _flagship_cfg()
+    trainer = DiffusionTrainer(cfg, TrainConfig(batch_size=batch),
+                               conditional=True)
+    state = trainer.init_state(jax.random.PRNGKey(0),
+                               (batch, 128, 128, 128, 1))
+    vol = jax.random.uniform(jax.random.PRNGKey(1),
+                             (batch, 128, 128, 128, 1), jnp.float32)
+    ctx = jnp.zeros((batch,), jnp.int32)
+
+    dt = bench_step(trainer.train_step, state, lambda i: (vol, ctx), runs)
+    s_per_vol = dt / batch
+    print(json.dumps({
+        "metric": "conditional_dm_train_step_128^3_T1000",
+        "value": round(dt, 4), "unit": "s/step",
+        "batch": batch,
+        "s_per_volume": round(s_per_vol, 4),
+        "vs_baseline": round(DM_REF_S_PER_VOL / s_per_vol, 2),
+    }))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--runs", type=int, default=5)
+    ap.add_argument("--only", choices=["vq", "dm"], default=None)
+    args = ap.parse_args()
+    if args.only in (None, "vq"):
+        bench_vqvae(args.batch, args.runs)
+    if args.only in (None, "dm"):
+        bench_dm(args.batch, args.runs)
+
+
+if __name__ == "__main__":
+    main()
