@@ -51,6 +51,19 @@ class GNResidualUnit(nn.Module):
         return x + h
 
 
+def _gn_res_unit(cfg: VQVAEConfig):
+    """GNResidualUnit, rematerialized when cfg.remat (same memory/FLOPs
+    trade as ldm3d/models/vqvae.py::_res_unit)."""
+    if cfg.remat:
+        return nn.remat(GNResidualUnit, static_argnums=(2,))
+    return GNResidualUnit
+
+
+def _vq_res_unit(cfg: VQVAEConfig):
+    from ldm3d.models.vqvae import _res_unit
+    return _res_unit(cfg)
+
+
 class VQGANEncoder(nn.Module):
     """reference vqgan_attn_cp.py:279-336."""
 
@@ -67,9 +80,9 @@ class VQGANEncoder(nn.Module):
             else:
                 x = conv3d(ch, 4, stride=2, dtype=self.dtype,
                            name=f"down_{i}")(x)
-                x = GNResidualUnit(ch, cfg.num_res_channels[i],
-                                   dtype=self.dtype, name=f"res_{i}")(
-                                       x, training)
+                x = _gn_res_unit(cfg)(ch, cfg.num_res_channels[i],
+                                      dtype=self.dtype, name=f"res_{i}")(
+                                          x, training)
         x = Norm("group", dtype=self.dtype, name="head_norm")(x, training)
         x = jax.nn.silu(x)
         return conv3d(cfg.quantizer.embedding_dim, 1, dtype=self.dtype,
@@ -97,10 +110,10 @@ class VQGANDecoder(nn.Module):
                 x = conv3d_transpose(rev[i], 4, stride=2, dtype=self.dtype,
                                      kernel_resize=cfg.kernel_resize,
                                      name=f"up_{i}")(x)
-                x = GNResidualUnit(rev[i], rev[i], dtype=self.dtype,
-                                   name=f"res_{i}_1")(x, training)
-                x = GNResidualUnit(rev[i], rev[i], dtype=self.dtype,
-                                   name=f"res_{i}_2")(x, training)
+                x = _gn_res_unit(cfg)(rev[i], rev[i], dtype=self.dtype,
+                                      name=f"res_{i}_1")(x, training)
+                x = _gn_res_unit(cfg)(rev[i], rev[i], dtype=self.dtype,
+                                      name=f"res_{i}_2")(x, training)
         return x
 
 
@@ -116,12 +129,11 @@ class StrideEncoder(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = True) -> jax.Array:
         from ldm3d.models.layers import avgpool3d, get_act
-        from ldm3d.models.vqvae import VQVAEResidualUnit
         cfg = self.cfg
         for i, ch in enumerate(cfg.num_channels):
             for j in range(cfg.num_res_layers):
                 in_ch = x.shape[-1]
-                x = VQVAEResidualUnit(in_ch, cfg.num_res_channels[i],
+                x = _vq_res_unit(cfg)(in_ch, cfg.num_res_channels[i],
                                       act=cfg.act, norm=cfg.norm,
                                       dtype=self.dtype,
                                       name=f"res_{i}_{j}")(x, training)
@@ -143,14 +155,13 @@ class StrideDecoder(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = True) -> jax.Array:
         from ldm3d.models.layers import get_act, upsample3d
-        from ldm3d.models.vqvae import VQVAEResidualUnit
         cfg = self.cfg
         rev = list(reversed(cfg.num_channels))
         rev_res = list(reversed(cfg.num_res_channels))
         x = conv3d(rev[0], 3, dtype=self.dtype, name="stem")(x)
         for i in range(len(rev)):
             for j in range(cfg.num_res_layers):
-                x = VQVAEResidualUnit(rev[i], rev_res[i], act=cfg.act,
+                x = _vq_res_unit(cfg)(rev[i], rev_res[i], act=cfg.act,
                                       norm=cfg.norm, dtype=self.dtype,
                                       name=f"res_{i}_{j}")(x, training)
             x = upsample3d(x, 2)
