@@ -150,7 +150,8 @@ class VectorQuantizerEMA(nn.Module):
             need_init.value = jnp.array(False)
 
         indices = nearest_codebook_indices(
-            jax.lax.stop_gradient(flat), codebook.value, self.impl)
+            jax.lax.stop_gradient(flat),
+            jax.lax.stop_gradient(codebook.value), self.impl)
         quantized = jnp.take(codebook.value, indices, axis=0).reshape(x.shape)
         quantized = quantized.astype(x.dtype)
 
@@ -228,7 +229,8 @@ class VectorQuantizerEMASonnet(nn.Module):
 
         flat = _flatten(x, d).astype(jnp.float32)
         indices = nearest_codebook_indices(
-            jax.lax.stop_gradient(flat), codebook.value, self.impl)
+            jax.lax.stop_gradient(flat),
+            jax.lax.stop_gradient(codebook.value), self.impl)
         quantized = jnp.take(codebook.value, indices, axis=0).reshape(x.shape)
         quantized = quantized.astype(x.dtype)
 

@@ -106,6 +106,11 @@ def nearest_codebook_indices(x: jax.Array, codebook: jax.Array,
 
     Returns: [N] int32 indices.
     """
+    # argmin is piecewise-constant: force both operands out of any
+    # surrounding linearization so the Pallas kernel (which has no JVP
+    # rule) is never differentiated through.
+    x = jax.lax.stop_gradient(x)
+    codebook = jax.lax.stop_gradient(codebook)
     n, d = x.shape
     k = codebook.shape[0]
     if impl == "pallas" or (impl == "auto" and _pallas_ok(n, d, k)):
