@@ -72,7 +72,9 @@ class ReduceLROnPlateau:
         self._wait = 0
         old = get_learning_rate(opt_state)
         new = max(old * self.factor, self.min_lr)
-        if new < old:
+        # relative tolerance: float32 round-trip of min_lr must not be
+        # reported as a reduction once the floor is reached
+        if new < old * (1.0 - 1e-6):
             return set_learning_rate(opt_state, new), True
         return opt_state, False
 

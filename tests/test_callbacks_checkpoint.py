@@ -1,0 +1,132 @@
+"""Callbacks + orbax checkpoint/resume round-trip tests
+(reference: Keras ModelCheckpoint/CSVLogger/ReduceLROnPlateau and the
+missing DelayedReduceLROnPlateau, SURVEY.md §2.5/§5)."""
+
+import csv
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from ldm3d.train.callbacks import (CSVLogger, DelayedReduceLROnPlateau,
+                                   MetricsLogger, ReduceLROnPlateau,
+                                   get_learning_rate)
+from ldm3d.train.checkpoint import CheckpointManager
+
+
+def _opt_state(lr=1e-3):
+    tx = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+    return tx.init({"w": jnp.zeros((3,))})
+
+
+def test_reduce_lr_on_plateau_reduces_after_patience():
+    cb = ReduceLROnPlateau(monitor="loss", factor=0.5, patience=2,
+                           min_lr=1e-6)
+    s = _opt_state(1e-3)
+    s, red = cb(0, {"loss": 1.0}, s)        # best=1.0
+    assert not red
+    s, red = cb(1, {"loss": 1.0}, s)        # wait=1
+    assert not red
+    s, red = cb(2, {"loss": 1.0}, s)        # wait=2 -> reduce
+    assert red and np.isclose(get_learning_rate(s), 5e-4)
+    # improvement resets the counter
+    s, red = cb(3, {"loss": 0.5}, s)
+    assert not red and np.isclose(get_learning_rate(s), 5e-4)
+
+
+def test_reduce_lr_respects_min_lr_and_missing_metric():
+    cb = ReduceLROnPlateau(monitor="val_loss", factor=0.1, patience=1,
+                           min_lr=1e-3)
+    s = _opt_state(1e-3)
+    s, red = cb(0, {"loss": 1.0}, s)        # monitor missing -> no-op
+    assert not red
+    s, red = cb(1, {"val_loss": 1.0}, s)
+    s, red = cb(2, {"val_loss": 1.0}, s)    # would reduce below min_lr
+    assert not red and np.isclose(get_learning_rate(s), 1e-3)
+
+
+def test_delayed_reduce_lr_waits_for_start_epoch():
+    cb = DelayedReduceLROnPlateau(start_epoch=3, monitor="loss",
+                                  factor=0.5, patience=1)
+    s = _opt_state(1e-2)
+    for e in range(3):                      # gated: no state accumulates
+        s, red = cb(e, {"loss": 1.0}, s)
+        assert not red
+    s, _ = cb(3, {"loss": 1.0}, s)          # best=1.0
+    s, red = cb(4, {"loss": 1.0}, s)        # plateau -> reduce
+    assert red and np.isclose(get_learning_rate(s), 5e-3)
+
+
+def test_csv_logger_format_and_append(tmp_path):
+    path = str(tmp_path / "training.log")
+    log = CSVLogger(path)
+    log(0, {"loss": 0.5, "val_loss": 0.6})
+    log(1, {"loss": 0.25, "val_loss": 0.3})
+    rows = list(csv.DictReader(open(path)))
+    assert [r["epoch"] for r in rows] == ["0", "1"]
+    assert float(rows[1]["loss"]) == 0.25
+    # append=True resumes without rewriting the header
+    log2 = CSVLogger(path, append=True)
+    log2(2, {"loss": 0.1, "val_loss": 0.2})
+    rows = list(csv.DictReader(open(path)))
+    assert len(rows) == 3 and rows[2]["epoch"] == "2"
+
+
+def test_metrics_logger_jsonl(tmp_path):
+    path = str(tmp_path / "metrics.jsonl")
+    log = MetricsLogger(path, run_name="r1")
+    log(1, {"loss": 0.5})
+    log(2, {"loss": 0.4}, prefix="val_")
+    recs = [json.loads(l) for l in open(path)]
+    assert recs[0]["run"] == "r1" and recs[0]["loss"] == 0.5
+    assert recs[1]["val_loss"] == 0.4
+
+
+def _tiny_state(seed=0):
+    k = jax.random.PRNGKey(seed)
+    return {"params": {"w": jax.random.normal(k, (4, 4))},
+            "step": jnp.array(7, jnp.int32)}
+
+
+def test_checkpoint_save_restore_roundtrip(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), keep=3)
+    state = _tiny_state()
+    assert mgr.save(1, jax.device_get(state))
+    mgr.wait()
+    template = jax.tree_util.tree_map(np.zeros_like, jax.device_get(state))
+    restored, epoch = mgr.restore(template)
+    assert epoch == 1
+    np.testing.assert_allclose(restored["params"]["w"],
+                               np.asarray(state["params"]["w"]))
+    assert int(restored["step"]) == 7
+    mgr.close()
+
+
+def test_checkpoint_epoch_selection_and_retention(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), keep=2)
+    for e in (1, 2, 3):
+        st = _tiny_state(seed=e)
+        mgr.save(e, jax.device_get(st))
+    mgr.wait()
+    assert mgr.latest_epoch() == 3
+    template = jax.tree_util.tree_map(np.zeros_like,
+                                      jax.device_get(_tiny_state()))
+    _, epoch = mgr.restore(template, 2)      # explicit epoch resume
+    assert epoch == 2
+    with pytest.raises(Exception):
+        mgr.restore(template, 1)             # evicted by keep=2
+    mgr.close()
+
+
+def test_checkpoint_save_best_only(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), save_best_only=True)
+    st = jax.device_get(_tiny_state())
+    assert mgr.save(1, st, metric=1.0)
+    assert not mgr.save(2, st, metric=1.5)   # worse -> skipped
+    assert mgr.save(3, st, metric=0.5)
+    mgr.wait()
+    assert mgr.latest_epoch() == 3
+    mgr.close()
