@@ -78,3 +78,37 @@ def test_halo_conv_inside_jit():
     ref = _ref_conv(x, k, None, 1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_vq_train_step_data_space_mesh():
+    """Full VQ-VAE train step over a 4x2 data x space mesh: batch sharded
+    over 'data', volume depth over 'space' (XLA SPMD inserts the halo
+    exchanges and gradient all-reduce). Loss must match the same step on a
+    pure data mesh."""
+    from ldm3d.core.config import (QuantizerConfig, TrainConfig, VQVAEConfig,
+                                   replace)
+    from ldm3d.train.vq_trainer import VQTrainer
+
+    vq = VQVAEConfig(
+        in_channels=2, out_channels=2, num_res_layers=1,
+        num_channels=(4, 8), num_res_channels=(4, 8),
+        downsample_stride=(2, 2), downsample_kernel=(4, 4),
+        upsample_stride=(2, 2), upsample_kernel=(4, 4),
+        quantizer=QuantizerConfig(kind="ste", num_embeddings=16,
+                                  embedding_dim=8))
+    tcfg = TrainConfig(batch_size=8, dtype="float32", seed=3)
+    vol = jax.random.uniform(jax.random.PRNGKey(5), (8, 16, 16, 16, 1))
+    mask = jnp.ones_like(vol)
+
+    losses = {}
+    for name, mcfg, spatial in (("data", MeshConfig(data=4, space=2), 3),
+                                ("flat", MeshConfig(data=8, space=1), None)):
+        mesh = make_mesh(mcfg)
+        tr = VQTrainer(vq, tcfg, mesh=mesh)
+        state = tr.init_state(jax.random.PRNGKey(0), (8, 16, 16, 16, 2))
+        v, m = shard_batch(mesh, (vol, mask), spatial_axis=spatial)
+        state, metrics = tr.train_step(state, v, m)
+        state, metrics = tr.train_step(state, v, m)
+        losses[name] = float(metrics["loss"])
+        assert np.isfinite(losses[name])
+    assert np.isclose(losses["data"], losses["flat"], rtol=1e-4)
