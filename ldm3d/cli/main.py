@@ -77,6 +77,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out_dir", default="./generated_images_dm3d")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of a few steps")
+    p.add_argument("--image_log_freq", type=int, default=0,
+                   help="save orig-vs-recon / generated-sample slice "
+                        "panels every N epochs (reference "
+                        "WandbImageCallback, log_freq=10); 0 disables")
     p.add_argument("--sweep", type=str, default=None,
                    help="path to a W&B-schema sweep yaml; runs train_vq "
                         "for each point (reference sweep.yaml + wandb agent)")
@@ -215,9 +219,24 @@ def run_train_vq(cfg, args):
         print(f"resumed from epoch {initial_epoch}")
 
     logdir = _ckpt_dir(cfg, "vq")
+    image_logger = None
+    if args.image_log_freq:
+        from ldm3d.train.callbacks import ImageLogger
+        sample_batch = next(iter(val_loader or train_loader))
+
+        def render(state, _batch=sample_batch):
+            vol, mask = _batch[0], _batch[1]
+            recon, _ = trainer.reconstruct(state, vol, mask)
+            return {"original": np.asarray(vol[:2], np.float32),
+                    "reconstruction": np.asarray(recon[:2, ..., :1],
+                                                 np.float32)}
+
+        image_logger = ImageLogger(os.path.join(logdir, "images"), render,
+                                   log_freq=args.image_log_freq)
     state, metrics = fit(
         trainer, state, train_loader, cfg.train.epochs,
         val_loader=val_loader, ckpt=None if args.test_run else ckpt,
+        image_logger=image_logger,
         csv_logger=CSVLogger(os.path.join(logdir, "training.log"),
                              append=args.resume_ckpt is not None),
         metrics_logger=MetricsLogger(os.path.join(logdir, "metrics.jsonl"),
@@ -262,15 +281,7 @@ def run_test_vq(cfg, args):
         total_mse += float(metrics["reconst_loss"])
         n += 1
         if i < 4:  # save a few original/recon pairs like the reference
-            if cfg.model == "vqgan":
-                x = jnp.concatenate([vol, mask], axis=-1)
-                recon, _ = trainer.ae.apply(
-                    {"params": state.params["ae"],
-                     "vq_stats": state.vq_stats,
-                     "batch_stats": state.batch_stats["ae"]},
-                    x, training=False)
-            else:
-                recon, _ = trainer.reconstruct(state, vol, mask)
+            recon, _ = trainer.reconstruct(state, vol, mask)
             np.save(os.path.join(args.out_dir, f"original_{i}.npy"),
                     np.asarray(vol, np.float32))
             np.save(os.path.join(args.out_dir, f"reconst_{i}.npy"),
@@ -331,9 +342,31 @@ def run_train_dm(cfg, args):
         return trainer.train_step(state, vol, ctx)
 
     logdir = _ckpt_dir(cfg, "dm")
+    image_logger = None
+    if args.image_log_freq:
+        # generated mid-slices per context every N epochs (reference
+        # WandbImageCallback, conditional_dm3d.py:24-61)
+        from ldm3d.train.callbacks import ImageLogger
+        f = cfg.diffusion.vqvae.spatial_factor
+        lat = (1, size // f, size // f, size // f,
+               cfg.diffusion.latent_channels)
+        contexts = [0, 1] if cfg.model == "conditional_dm" else [None]
+
+        def render(state):
+            out = {}
+            for c in contexts:
+                vols = trainer.generate(state, jax.random.PRNGKey(11), lat,
+                                        context_value=c)
+                tag = f"generated_ctx{c}" if c is not None else "generated"
+                out[tag] = np.asarray(vols, np.float32)
+            return out
+
+        image_logger = ImageLogger(os.path.join(logdir, "images"), render,
+                                   log_freq=args.image_log_freq)
     state, metrics = fit(
         trainer, state, train_loader, cfg.train.epochs,
         ckpt=None if args.test_run else ckpt,
+        image_logger=image_logger,
         csv_logger=CSVLogger(os.path.join(logdir, "training.log"),
                              append=args.resume_ckpt is not None),
         metrics_logger=MetricsLogger(os.path.join(logdir, "metrics.jsonl"),

@@ -113,6 +113,34 @@ class CSVLogger:
             writer.writerow(row)
 
 
+class ImageLogger:
+    """Periodic image panels — the zero-egress equivalent of the
+    reference's W&B image callbacks: orig-vs-recon slices every
+    `log_freq` epochs during stage-1 training (training_utils.py:6-61,
+    vqgan.py:50-105) and generated samples per context during diffusion
+    training (conditional_dm3d.py:24-61). `render_fn(state) ->
+    {name: volume [H,W,D(,C)]}` supplies the volumes; mid-slice montages
+    are saved as `{out_dir}/epoch{N}_{name}.png`."""
+
+    def __init__(self, out_dir: str, render_fn, log_freq: int = 10):
+        self.out_dir = out_dir
+        self.render_fn = render_fn
+        self.log_freq = max(1, log_freq)
+        os.makedirs(out_dir, exist_ok=True)
+
+    def __call__(self, epoch: int, state) -> None:
+        if (epoch + 1) % self.log_freq:
+            return
+        from ldm3d.utils.visualize import plot_volume_grid
+        import numpy as np
+        for name, vol in self.render_fn(state).items():
+            tmp = os.path.join(self.out_dir,
+                               f"epoch{epoch + 1}_{name}.npy")
+            np.save(tmp, np.asarray(vol, np.float32))
+            plot_volume_grid([tmp], tmp.replace(".npy", ".png"))
+            os.remove(tmp)
+
+
 class MetricsLogger:
     """JSONL metric stream (one record per epoch/step) — the zero-egress
     stand-in for the reference's wandb logging; `wandb sync`-able."""

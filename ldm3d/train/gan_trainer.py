@@ -302,3 +302,11 @@ class GANTrainer:
     def next_epoch(self, state: GANTrainState) -> GANTrainState:
         """EpochCounterCallback equivalent (reference vqgan.py:16-21)."""
         return state.replace(epoch=state.epoch + 1)
+
+    def reconstruct(self, state: GANTrainState, vol, mask):
+        """(recon, aux) through the autoencoder — same interface as
+        VQTrainer.reconstruct (used by test_vq and the image callback)."""
+        x = jnp.concatenate([vol, mask], axis=-1)
+        return self.ae.apply(
+            {"params": state.params["ae"], "vq_stats": state.vq_stats,
+             "batch_stats": state.batch_stats["ae"]}, x, training=False)

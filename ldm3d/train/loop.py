@@ -39,6 +39,7 @@ def fit(trainer, state, train_loader, epochs: int,
         eval_fn: Optional[Callable] = None,
         is_gan: bool = False,
         rng=None,
+        image_logger=None,
         verbose: bool = True):
     """Train for `epochs`, returning the final state and the last metrics.
 
@@ -105,6 +106,8 @@ def fit(trainer, state, train_loader, epochs: int,
             csv_logger(epoch, last_metrics)
         if metrics_logger is not None:
             metrics_logger(epoch, last_metrics)
+        if image_logger is not None:
+            image_logger(epoch, state)
         if ckpt is not None:
             monitor = last_metrics.get("val_loss", last_metrics.get("loss"))
             ckpt.save(epoch + 1, jax.device_get(state), metric=monitor)
