@@ -77,6 +77,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out_dir", default="./generated_images_dm3d")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of a few steps")
+    p.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim"],
+                   help="test_dm sampler: full T-step DDPM chain "
+                        "(reference behavior) or strided fast DDIM")
+    p.add_argument("--sample_steps", type=int, default=None,
+                   help="DDIM U-Net evaluations (default timesteps//20)")
+    p.add_argument("--eta", type=float, default=0.0,
+                   help="DDIM stochasticity (0 = deterministic ODE)")
     p.add_argument("--image_log_freq", type=int, default=0,
                    help="save orig-vs-recon / generated-sample slice "
                         "panels every N epochs (reference "
@@ -401,8 +408,11 @@ def run_test_dm(cfg, args):
     contexts = [0, 1] if cfg.model == "conditional_dm" else [None]
     for ctx in contexts:
         out = trainer.generate(state, jax.random.PRNGKey(7), shape,
-                               context_value=ctx)
+                               context_value=ctx, sampler=args.sampler,
+                               sample_steps=args.sample_steps, eta=args.eta)
         tag = f"-ctx{ctx}" if ctx is not None else ""
+        if args.sampler == "ddim":
+            tag = f"-ddim{args.sample_steps or ''}{tag}"
         path = os.path.join(
             args.out_dir,
             f"{cfg.name}-{cfg.diffusion.timesteps}rsteps{tag}.npy")

@@ -82,3 +82,50 @@ def sample_latents(sched: Schedule, denoise_fn: Callable, shape, rng,
 
     (x, _), _ = jax.lax.scan(step, (x0, loop_rng), ts)
     return x
+
+
+def sample_latents_ddim(sched: Schedule, denoise_fn: Callable, shape, rng,
+                        num_steps: int = 50, eta: float = 0.0,
+                        clip_x0: bool = True,
+                        dtype=jnp.float32) -> jax.Array:
+    """DDIM sampler (Song et al. 2021) over a strided timestep subsequence —
+    a beyond-reference fast path: 20-50x fewer U-Net evaluations than the
+    T-step DDPM chain at comparable sample quality, as one fused `lax.scan`.
+
+    eta=0 is the deterministic DDIM ODE; eta=1 recovers DDPM-like variance
+    on the subsequence. Shares the training schedule/weights — no retraining.
+    """
+    T = sched.timesteps
+    num_steps = min(num_steps, T)
+    # strided tau subsequence, descending, always ending at 0
+    taus = jnp.linspace(0, T - 1, num_steps).round().astype(jnp.int32)[::-1]
+    taus_prev = jnp.concatenate([taus[1:], jnp.array([-1], jnp.int32)])
+
+    a_bar = sched.alpha_bar
+    init_rng, loop_rng = jax.random.split(rng)
+    x0 = jax.random.normal(init_rng, shape, dtype)
+    b = shape[0]
+
+    def step(carry, tt):
+        t, t_prev = tt
+        x, rng = carry
+        rng, sub = jax.random.split(rng)
+        ab_t = a_bar[t]
+        # a_bar_{tau_prev}; 1.0 at the final step (t_prev == -1)
+        ab_p = jnp.where(t_prev < 0, 1.0, a_bar[jnp.maximum(t_prev, 0)])
+        eps = denoise_fn(x.astype(dtype),
+                         jnp.full((b,), t, jnp.int32)).astype(jnp.float32)
+        xf = x.astype(jnp.float32)
+        x0_pred = (xf - jnp.sqrt(1.0 - ab_t) * eps) / jnp.sqrt(ab_t)
+        if clip_x0:
+            x0_pred = jnp.clip(x0_pred, -1.0, 1.0)
+        sigma = (eta * jnp.sqrt((1.0 - ab_p) / (1.0 - ab_t))
+                 * jnp.sqrt(1.0 - ab_t / ab_p))
+        dir_xt = jnp.sqrt(jnp.maximum(1.0 - ab_p - sigma ** 2, 0.0)) * eps
+        noise = jax.random.normal(sub, shape, jnp.float32)
+        noise = jnp.where(t_prev >= 0, noise, jnp.zeros_like(noise))
+        x = (jnp.sqrt(ab_p) * x0_pred + dir_xt + sigma * noise).astype(dtype)
+        return (x, rng), None
+
+    (x, _), _ = jax.lax.scan(step, (x0, loop_rng), (taus, taus_prev))
+    return x

@@ -25,7 +25,8 @@ import optax
 from jax.sharding import Mesh
 
 from ldm3d.core.config import DiffusionConfig, TrainConfig
-from ldm3d.diffusion.ddpm import ddpm_sample_step, sample_latents
+from ldm3d.diffusion.ddpm import (ddpm_sample_step, sample_latents,
+                                  sample_latents_ddim)
 from ldm3d.diffusion.schedule import make_schedule, q_sample
 from ldm3d.models.unet3d import UNet3D
 from ldm3d.models.vqvae import VQVAE
@@ -189,9 +190,14 @@ class DiffusionTrainer:
     # -- sampling ---------------------------------------------------------
 
     def generate_fn(self, latent_shape, last_step: int = 0,
-                    decode: bool = True):
+                    decode: bool = True, sampler: str = "ddpm",
+                    sample_steps: Optional[int] = None, eta: float = 0.0):
         """Build the fused jitted sample(+decode) program for a fixed latent
-        shape. Returns f(state, rng, context) -> volumes (or latents)."""
+        shape. Returns f(state, rng, context) -> volumes (or latents).
+
+        sampler="ddpm" runs the reference's full T-step chain;
+        sampler="ddim" runs the strided fast sampler (`sample_steps`
+        U-Net evaluations, default T//20, eta=0 deterministic)."""
 
         def run(state: TrainState, rng, context):
             variables = self._apply_variables(state)
@@ -202,8 +208,14 @@ class DiffusionTrainer:
                     context if self.conditional else None,
                     training=False, method="denoise")
 
-            latents = sample_latents(self.sched, denoise, latent_shape, rng,
-                                     last_step=last_step)
+            if sampler == "ddim":
+                steps = sample_steps or max(self.cfg.timesteps // 20, 1)
+                latents = sample_latents_ddim(self.sched, denoise,
+                                              latent_shape, rng,
+                                              num_steps=steps, eta=eta)
+            else:
+                latents = sample_latents(self.sched, denoise, latent_shape,
+                                         rng, last_step=last_step)
             if decode:
                 return self.model.apply(variables, latents, method="decode")
             return latents
@@ -212,12 +224,15 @@ class DiffusionTrainer:
 
     def generate(self, state: TrainState, rng, latent_shape,
                  context_value: Optional[int] = None, last_step: int = 0,
-                 decode: bool = True):
+                 decode: bool = True, sampler: str = "ddpm",
+                 sample_steps: Optional[int] = None, eta: float = 0.0):
         """One-call generation (reference `generate` + `test`,
         dm3d.py:510-545), entirely on device."""
         ctx = None
         if self.conditional:
             v = 0 if context_value is None else int(context_value)
             ctx = jnp.full((latent_shape[0],), v, jnp.int32)
-        fn = self.generate_fn(latent_shape, last_step, decode)
+        fn = self.generate_fn(latent_shape, last_step, decode,
+                              sampler=sampler, sample_steps=sample_steps,
+                              eta=eta)
         return fn(state, rng, ctx)

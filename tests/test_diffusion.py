@@ -143,3 +143,54 @@ def test_sampler_last_step_zero_noise():
     # deterministic function of the initial sample.
     out_b = sample_latents(s, denoise, shape, jax.random.PRNGKey(0))
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_ddim_deterministic_and_shape():
+    from ldm3d.diffusion.ddpm import sample_latents_ddim
+    sched = make_schedule(100)
+    shape = (2, 4, 4, 4, 3)
+
+    def denoise(x, t):
+        return 0.1 * x
+
+    a = sample_latents_ddim(sched, denoise, shape, jax.random.PRNGKey(0),
+                            num_steps=10, eta=0.0)
+    b = sample_latents_ddim(sched, denoise, shape, jax.random.PRNGKey(0),
+                            num_steps=10, eta=0.0)
+    assert a.shape == shape
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert np.isfinite(np.asarray(a)).all()
+
+
+def test_ddim_contracts_to_predicted_x0():
+    """With a denoiser that always implies x0 = 0 (eps = x / sqrt(1-abar)),
+    the deterministic DDIM chain must collapse toward zero."""
+    from ldm3d.diffusion.ddpm import sample_latents_ddim
+    sched = make_schedule(200)
+    shape = (1, 4, 4, 4, 2)
+    a_bar = np.asarray(sched.alpha_bar)
+
+    def denoise(x, t):
+        ab = jnp.take(sched.alpha_bar, t[0])
+        return x / jnp.sqrt(1.0 - ab)
+
+    out = sample_latents_ddim(sched, denoise, shape, jax.random.PRNGKey(3),
+                              num_steps=25, eta=0.0, clip_x0=False)
+    assert float(jnp.max(jnp.abs(out))) < 0.05
+
+
+def test_ddim_trainer_generate_path():
+    """DiffusionTrainer.generate(sampler='ddim') runs fused and decodes."""
+    from __graft_entry__ import _flagship_cfg
+    from ldm3d.core.config import TrainConfig
+    from ldm3d.train.dm_trainer import DiffusionTrainer
+
+    cfg = _flagship_cfg(tiny=True)
+    tr = DiffusionTrainer(cfg, TrainConfig(batch_size=2, dtype="float32"),
+                          conditional=True)
+    state = tr.init_state(jax.random.PRNGKey(0), (2, 16, 16, 16, 1))
+    lat = (2, 4, 4, 4, cfg.latent_channels)
+    out = tr.generate(state, jax.random.PRNGKey(1), lat, context_value=1,
+                      sampler="ddim", sample_steps=4)
+    assert out.shape == (2, 16, 16, 16, 1)
+    assert np.isfinite(np.asarray(out)).all()
