@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import functools
 import os
 import sys
 
@@ -77,6 +78,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out_dir", default="./generated_images_dm3d")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of a few steps")
+    p.add_argument("--auto_resume", type=int, default=0, metavar="N",
+                   help="on a training crash, restore the latest "
+                        "checkpoint and resume, up to N times (the "
+                        "reference required manual Slurm resubmission)")
     p.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim"],
                    help="test_dm sampler: full T-step DDPM chain "
                         "(reference behavior) or strided fast DDIM")
@@ -240,7 +245,10 @@ def run_train_vq(cfg, args):
 
         image_logger = ImageLogger(os.path.join(logdir, "images"), render,
                                    log_freq=args.image_log_freq)
-    state, metrics = fit(
+    from ldm3d.train.loop import fit_with_recovery
+    fit_fn = fit if not args.auto_resume else functools.partial(
+        fit_with_recovery, max_restarts=args.auto_resume)
+    state, metrics = fit_fn(
         trainer, state, train_loader, cfg.train.epochs,
         val_loader=val_loader, ckpt=None if args.test_run else ckpt,
         image_logger=image_logger,
@@ -370,7 +378,10 @@ def run_train_dm(cfg, args):
 
         image_logger = ImageLogger(os.path.join(logdir, "images"), render,
                                    log_freq=args.image_log_freq)
-    state, metrics = fit(
+    from ldm3d.train.loop import fit_with_recovery
+    fit_fn = fit if not args.auto_resume else functools.partial(
+        fit_with_recovery, max_restarts=args.auto_resume)
+    state, metrics = fit_fn(
         trainer, state, train_loader, cfg.train.epochs,
         ckpt=None if args.test_run else ckpt,
         image_logger=image_logger,

@@ -119,3 +119,36 @@ def fit(trainer, state, train_loader, epochs: int,
                   f"{num_batches} steps] {msg}")
 
     return state, last_metrics
+
+
+def fit_with_recovery(trainer, state, train_loader, epochs: int,
+                      ckpt: CheckpointManager, max_restarts: int = 2,
+                      initial_epoch: int = 0, verbose: bool = True,
+                      **fit_kwargs):
+    """`fit` wrapped with automatic failure recovery — the elastic-restart
+    capability the reference lacks (SURVEY.md §5: crashes in its logs were
+    handled by manually resubmitting Slurm jobs). On any exception the
+    latest orbax checkpoint is restored and training resumes from that
+    epoch, up to `max_restarts` times."""
+    restarts = 0
+    while True:
+        try:
+            return fit(trainer, state, train_loader, epochs, ckpt=ckpt,
+                       initial_epoch=initial_epoch, verbose=verbose,
+                       **fit_kwargs)
+        except KeyboardInterrupt:
+            raise
+        except Exception as e:
+            restarts += 1
+            if restarts > max_restarts or ckpt is None:
+                raise
+            ckpt.wait()
+            template = jax.device_get(state)
+            try:
+                state, initial_epoch = ckpt.restore(template)
+            except FileNotFoundError:
+                initial_epoch = 0  # nothing saved yet: restart from scratch
+            if verbose:
+                print(f"recovered from '{type(e).__name__}: {e}' — "
+                      f"resuming at epoch {initial_epoch} "
+                      f"(restart {restarts}/{max_restarts})")

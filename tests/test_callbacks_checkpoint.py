@@ -130,3 +130,38 @@ def test_checkpoint_save_best_only(tmp_path):
     mgr.wait()
     assert mgr.latest_epoch() == 3
     mgr.close()
+
+
+def test_fit_with_recovery_resumes_from_checkpoint(tmp_path):
+    """A step that crashes mid-training is recovered from the latest
+    checkpoint and training completes (SURVEY.md §5: the reference's only
+    'recovery' was manual Slurm resubmission)."""
+    from ldm3d.train.loop import fit_with_recovery
+
+    class Trainer:
+        def train_step(self, state, vol, mask):
+            new = {"params": {"w": state["params"]["w"] + 1.0},
+                   "step": state["step"] + 1}
+            return new, {"loss": jnp.float32(1.0)}
+
+    crashes = {"n": 0}
+
+    def step_fn(state, batch):
+        # crash once at global step 3 (epoch 1), after epoch 0 checkpointed
+        if int(state["step"]) == 3 and crashes["n"] == 0:
+            crashes["n"] += 1
+            raise RuntimeError("injected fault")
+        return Trainer().train_step(state, *batch)
+
+    loader = [(jnp.zeros((1,)), jnp.zeros((1,)))] * 2
+    state = {"params": {"w": jnp.zeros(())}, "step": jnp.array(0, jnp.int32)}
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), keep=3)
+    final, metrics = fit_with_recovery(
+        Trainer(), state, loader, epochs=3, ckpt=mgr, max_restarts=1,
+        step_fn=step_fn, verbose=False)
+    mgr.wait()
+    assert crashes["n"] == 1
+    # 3 epochs x 2 steps, minus the 1 step lost to the rollback replay
+    assert int(final["step"]) == 6
+    assert mgr.latest_epoch() == 3
+    mgr.close()
