@@ -205,7 +205,8 @@ def run_train_vq(cfg, args):
     mesh = make_mesh(cfg.train.mesh)
     train_loader, val_loader = _loaders(cfg, args)
     size = cfg.data.volume_size
-    sample = (cfg.train.batch_size, size, size, size, 2)
+    n_ch = (cfg.vqgan.ae if cfg.model == "vqgan" else cfg.vqvae).in_channels
+    sample = (cfg.train.batch_size, size, size, size, n_ch)
 
     is_gan = cfg.model == "vqgan"
     if is_gan:
@@ -277,7 +278,8 @@ def run_test_vq(cfg, args):
     if val_loader is None:
         raise SystemExit("validation split is empty")
     size = cfg.data.volume_size
-    sample = (cfg.train.batch_size, size, size, size, 2)
+    n_ch = (cfg.vqgan.ae if cfg.model == "vqgan" else cfg.vqvae).in_channels
+    sample = (cfg.train.batch_size, size, size, size, n_ch)
     if cfg.model == "vqgan":
         from ldm3d.train.gan_trainer import GANTrainer
         trainer = GANTrainer(cfg.vqgan, cfg.train, mesh=mesh)

@@ -78,8 +78,16 @@ class VQTrainer:
 
     # -- steps -------------------------------------------------------------
 
+    def _model_input(self, vol, mask):
+        """concat(img, mask) for 2-channel configs (reference
+        vqvae3d_monai.py:478); the 1-channel families (NSVQ/RNSVQ/EMA)
+        train on the bare volume (reference nsvqvae.py:432)."""
+        if self.cfg.in_channels > vol.shape[-1]:
+            return jnp.concatenate([vol, mask], axis=-1)
+        return vol
+
     def _loss_fn(self, params, state: TrainState, vol, mask, rngs, training):
-        x = jnp.concatenate([vol, mask], axis=-1)
+        x = self._model_input(vol, mask)
         variables = {"params": params}
         mutable = []
         if state.vq_stats is not None:
@@ -175,6 +183,6 @@ class VQTrainer:
     # -- inference --------------------------------------------------------
 
     def reconstruct(self, state: TrainState, vol, mask):
-        x = jnp.concatenate([vol, mask], axis=-1)
+        x = self._model_input(vol, mask)
         recon, aux = self.model.apply(state.variables(), x, training=False)
         return recon, aux

@@ -109,3 +109,28 @@ def test_replace_unused_codebooks_roundtrip():
                                        rng=jax.random.PRNGKey(2))
     assert int(jnp.sum(state2.vq_stats["quantizer"]["codebooks_used"])) == 0
     assert 0 <= int(n) <= cfg.quantizer.num_embeddings
+
+
+def test_vq_trainer_single_channel_family():
+    """NSVQ/RNSVQ/EMA-family configs are 1-channel: the trainer must feed
+    the bare volume (reference nsvqvae.py trains without the mask channel,
+    main_nsvqvae.py:190-215)."""
+    from ldm3d.core.config import QuantizerConfig, TrainConfig, VQVAEConfig
+    from ldm3d.train.vq_trainer import VQTrainer
+
+    vq = VQVAEConfig(
+        in_channels=1, out_channels=1, num_res_layers=1,
+        num_channels=(4, 8), num_res_channels=(4, 8),
+        downsample_stride=(2, 2), downsample_kernel=(4, 4),
+        upsample_stride=(2, 2), upsample_kernel=(4, 4),
+        quantizer=QuantizerConfig(kind="nsvq", num_embeddings=16,
+                                  embedding_dim=8,
+                                  quantize_loss_weight=1e2))
+    tr = VQTrainer(vq, TrainConfig(batch_size=2, dtype="float32"))
+    state = tr.init_state(jax.random.PRNGKey(0), (2, 16, 16, 16, 1))
+    vol = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 16, 1))
+    mask = jnp.ones_like(vol)
+    state, metrics = tr.train_step(state, vol, mask)   # mask ignored
+    assert np.isfinite(metrics["loss"])
+    recon, _ = tr.reconstruct(state, vol, mask)
+    assert recon.shape == (2, 16, 16, 16, 1)
