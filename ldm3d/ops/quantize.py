@@ -39,7 +39,10 @@ def _nearest_indices_xla(x: jax.Array, codebook: jax.Array) -> jax.Array:
 # Pallas TPU kernel
 # ---------------------------------------------------------------------------
 
-_TILE_N = 512
+# Measured on TPU v5e at the flagship shape (N=32768, D=256, K=1024):
+# tile 512 -> 0.45 ms, 1024 -> 0.37 ms, 2048 -> 0.11 ms (vs XLA 0.23 ms),
+# 4096 regresses (VMEM pressure). 2048 amortizes the per-grid-step argmin.
+_TILE_N = 2048
 
 
 def _nearest_kernel(x_ref, cb_ref, csq_ref, idx_ref):
@@ -91,7 +94,9 @@ def _pallas_ok(n: int, d: int, k: int) -> bool:
         return False
     # codebook + one [TILE_N, K] fp32 tile + x tile must fit VMEM comfortably.
     vmem = d * k * 4 + _TILE_N * k * 4 + _TILE_N * d * 4
-    return vmem < 12 * 1024 * 1024 and d % 128 == 0 and k % 128 == 0
+    # small-N calls are launch-bound: XLA's fused matmul+argmin wins there
+    return (n >= _TILE_N and vmem < 12 * 1024 * 1024
+            and d % 128 == 0 and k % 128 == 0)
 
 
 def nearest_codebook_indices(x: jax.Array, codebook: jax.Array,
