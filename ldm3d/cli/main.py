@@ -19,10 +19,8 @@ Usage examples (mirroring the sbatch commands, SURVEY.md §2.5):
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import functools
 import os
-import sys
 
 import numpy as np
 
@@ -78,6 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out_dir", default="./generated_images_dm3d")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of a few steps")
+    p.add_argument("--disc_threshold", type=int, default=None,
+                   help="epochs before the discriminator/adversarial "
+                        "losses activate (reference "
+                        "main_exp_vqgan_attn.py:329)")
     p.add_argument("--auto_resume", type=int, default=0, metavar="N",
                    help="on a training crash, restore the latest "
                         "checkpoint and resume, up to N times (the "
@@ -157,6 +159,10 @@ def apply_overrides(cfg, args):
     if args.timesteps is not None:
         diff = replace(diff, timesteps=args.timesteps)
     cfg = replace(cfg, diffusion=diff)
+
+    if args.disc_threshold is not None:
+        cfg = replace(cfg, vqgan=replace(cfg.vqgan,
+                                         disc_threshold=args.disc_threshold))
 
     if args.ckpt_dir is not None:
         cfg = replace(cfg, ckpt_dir=args.ckpt_dir)

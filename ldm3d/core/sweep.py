@@ -15,9 +15,8 @@ from __future__ import annotations
 
 import ast
 import itertools
-import json
 import random as pyrandom
-from typing import Any, Dict, Iterator, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
 
 def _parse_scalar(v: Any) -> Any:

@@ -24,7 +24,6 @@ import glob
 import gzip
 import os
 import struct
-from typing import Optional, Tuple
 
 import numpy as np
 

@@ -22,7 +22,7 @@ import json
 import os
 import threading
 import queue as queue_mod
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

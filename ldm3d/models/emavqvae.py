@@ -21,7 +21,7 @@ code alone — kept as-is for parity (it is a reconstruction-only model).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax

@@ -33,7 +33,7 @@ with x of shape [..., D] and quantized of the same shape.
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import flax.linen as nn
 import jax

@@ -19,13 +19,13 @@ here; the two-optimizer train step is in ldm3d/train/gan_trainer.py.
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Tuple
+from typing import Any, List, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ldm3d.core.config import DiscriminatorConfig, VQGANConfig, VQVAEConfig
+from ldm3d.core.config import DiscriminatorConfig, VQVAEConfig
 from ldm3d.models.layers import Norm, conv3d, conv3d_transpose
 from ldm3d.models.quantizers import QuantAux, make_quantizer
 

@@ -16,7 +16,7 @@ explicit variable collections (see ldm3d/models/quantizers.py).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax

@@ -16,8 +16,6 @@ routes them over ICI. Axes:
 
 from __future__ import annotations
 
-import math
-from contextlib import contextmanager
 from typing import Optional, Sequence
 
 import jax

@@ -26,7 +26,7 @@ import csv
 import json
 import os
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 
 def get_learning_rate(opt_state) -> float:

@@ -15,8 +15,7 @@ networks/conditional_dm3d.py:418-594):
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import flax.linen as nn
 import jax
@@ -25,12 +24,12 @@ import optax
 from jax.sharding import Mesh
 
 from ldm3d.core.config import DiffusionConfig, TrainConfig
-from ldm3d.diffusion.ddpm import (ddpm_sample_step, sample_latents,
+from ldm3d.diffusion.ddpm import (sample_latents,
                                   sample_latents_ddim)
 from ldm3d.diffusion.schedule import make_schedule, q_sample
 from ldm3d.models.unet3d import UNet3D
 from ldm3d.models.vqvae import VQVAE
-from ldm3d.parallel.mesh import batch_sharding, replicated
+from ldm3d.parallel.mesh import replicated
 from ldm3d.train.state import TrainState
 
 

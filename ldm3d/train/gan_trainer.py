@@ -23,8 +23,7 @@ mean-reduced (intentional correction, noted for parity review).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax
@@ -34,12 +33,11 @@ from jax.sharding import Mesh
 
 from ldm3d.core.config import TrainConfig, VQGANConfig
 from ldm3d.models.lpips import LPIPS, load_lpips_params
-from ldm3d.models.quantizers import replace_unused_codebooks
 from ldm3d.models.vqgan import (Discriminator2D, Discriminator3D,
                                 VQGANAutoencoder, hinge_d_loss,
                                 vanilla_d_loss)
 from ldm3d.ops.metrics import volume_psnr, volume_ssim
-from ldm3d.parallel.mesh import batch_sharding, replicated
+from ldm3d.parallel.mesh import replicated
 from ldm3d.train.state import GANTrainState
 
 

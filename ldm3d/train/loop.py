@@ -11,7 +11,7 @@ jit-compiled steps, everything between epochs is pure state transitions.
 from __future__ import annotations
 
 import time
-from typing import Any, Callable, Dict, Iterable, Optional
+from typing import Callable, Dict, Optional
 
 import jax
 import numpy as np

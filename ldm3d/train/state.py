@@ -10,10 +10,9 @@ global updates."""
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
-import optax
 from flax import struct
 
 

@@ -16,19 +16,18 @@ gradient all-reduce over ICI.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ldm3d.core.config import ExperimentConfig, TrainConfig, VQVAEConfig
+from ldm3d.core.config import TrainConfig, VQVAEConfig
 from ldm3d.models.quantizers import replace_unused_codebooks
 from ldm3d.models.vqvae import VQVAE
 from ldm3d.ops.metrics import volume_psnr, volume_ssim
-from ldm3d.parallel.mesh import batch_sharding, replicated
+from ldm3d.parallel.mesh import replicated
 from ldm3d.train.state import TrainState
 
 
