@@ -206,6 +206,10 @@ class DataConfig:
     brightness_range: Tuple[float, float] = (0.9, 1.1)
     contrast_range: Tuple[float, float] = (0.9, 1.1)
     test_run: bool = False             # truncate to 24 files (dataset_utils.py:78-80)
+    # host->device batch dtype: the cache is f16, so transferring f16 and
+    # widening on device is numerically exact and halves input bandwidth
+    # (PCIe on real hosts, the relay here)
+    transfer_dtype: str = "float16"    # "float16" | "float32"
 
 
 @dataclass(frozen=True)

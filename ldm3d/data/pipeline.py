@@ -150,11 +150,22 @@ class DataLoader:
         bs = self.batch_size
         reader = self.cache._reader
         s = self.cache.volume_size
+        f16 = getattr(self.cfg, "transfer_dtype", "float16") == "float16"
         for i in range(len(order) // bs):
             idxs = [int(j) for j in order[i * bs:(i + 1) * bs]]
             entries = [self.cache.entries[j] for j in idxs]
             ctxs = np.asarray([e["context"] for e in entries], np.int32)
-            if reader is not None:
+            if f16:
+                # keep the batch f16 on host: the cache is f16, so the
+                # device-side widen is exact and the transfer is half the
+                # bytes of the f32 path
+                d = self.cache.cache_dir
+                imgs = np.stack([np.load(os.path.join(
+                    d, e["stem"] + "_img.npy")) for e in entries])
+                masks = np.stack([np.load(os.path.join(
+                    d, e["stem"] + "_mask.npy")) for e in entries])
+                yield imgs, masks, ctxs
+            elif reader is not None:
                 # native path: the C++ pool reads + widens all 2*bs files
                 # in parallel without the GIL (runtime/dataio.cpp)
                 imgs = np.empty((bs, s, s, s, 1), np.float32)
@@ -197,12 +208,14 @@ class DataLoader:
             if item is sentinel:
                 break
             vol, mask, ctx = item
+            # transfer at the host dtype (f16 halves bytes), widen on device
+            vol = jnp.asarray(vol).astype(jnp.float32)
+            mask = jnp.asarray(mask).astype(jnp.float32)
             if self.train and self.cfg.augment:
                 vol, mask = augment_batch(
-                    jax.random.fold_in(aug_key, step), jnp.asarray(vol),
-                    jnp.asarray(mask), self.cfg)
+                    jax.random.fold_in(aug_key, step), vol, mask, self.cfg)
             step += 1
-            yield jnp.asarray(vol), jnp.asarray(mask), jnp.asarray(ctx)
+            yield vol, mask, jnp.asarray(ctx)
 
 
 def train_val_split(cache: VolumeCache, val_fraction: float, seed: int = 0):
