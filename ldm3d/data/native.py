@@ -49,6 +49,10 @@ def _load_library() -> Optional[ctypes.CDLL]:
             lib.ldm3d_read_f16_as_f32.argtypes = [
                 ctypes.c_char_p, ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+            if hasattr(lib, "ldm3d_pool_submit_raw"):
+                lib.ldm3d_pool_submit_raw.argtypes = [
+                    ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
             _lib = lib
         except OSError:
             _lib_failed = True
@@ -121,6 +125,29 @@ class NativeReader:
         if rc != 0:
             raise IOError(f"native read failed ({rc}): {path}")
         return out
+
+    def read_batch_f16(self, paths: Sequence[str], out: np.ndarray) -> None:
+        """Fill out[i] from paths[i] in parallel at cache precision
+        (out: [N, ...] float16; raw reads, no widening)."""
+        if not hasattr(self._lib, "ldm3d_pool_submit_raw"):
+            for i, path in enumerate(paths):  # stale .so: plain reads
+                out[i] = np.load(path).reshape(out.shape[1:])
+            return
+        assert out.dtype == np.float16 and out.flags.c_contiguous
+        per = int(np.prod(out.shape[1:]))
+        base = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        for i, path in enumerate(paths):
+            offset, shape = self._layout(path)
+            if int(np.prod(shape)) != per:
+                raise ValueError(f"{path}: shape {shape} != batch slot")
+            dst = ctypes.cast(
+                ctypes.addressof(base.contents) + i * per * 2,
+                ctypes.POINTER(ctypes.c_uint8))
+            self._lib.ldm3d_pool_submit_raw(
+                self._pool, path.encode(), offset, dst, per * 2)
+        errors = self._lib.ldm3d_pool_wait(self._pool)
+        if errors:
+            raise IOError(f"{errors} native raw reads failed")
 
     def read_batch(self, paths: Sequence[str], out: np.ndarray) -> None:
         """Fill out[i] from paths[i] in parallel (out: [N, ...] float32)."""

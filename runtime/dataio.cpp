@@ -139,6 +139,22 @@ static int read_f16_as_f32(const char* path, int64_t offset, float* dst,
   return 0;
 }
 
+// Read `n_bytes` raw bytes at `offset` from `path` into `dst` (used for
+// the f16-transfer loader path: no widening, payload ships to the device
+// as-is). Returns 0 on success.
+static int read_raw(const char* path, int64_t offset, uint8_t* dst,
+                    int64_t n_bytes) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return 1;
+  if (std::fseek(f, (long)offset, SEEK_SET) != 0) {
+    std::fclose(f);
+    return 2;
+  }
+  size_t got = std::fread(dst, 1, (size_t)n_bytes, f);
+  std::fclose(f);
+  return (int64_t)got == n_bytes ? 0 : 3;
+}
+
 }  // namespace
 
 extern "C" {
@@ -171,6 +187,19 @@ int64_t ldm3d_pool_wait(void* pool) {
 int ldm3d_read_f16_as_f32(const char* path, int64_t offset, float* dst,
                           int64_t n_elems) {
   return read_f16_as_f32(path, offset, dst, n_elems);
+}
+
+// Async raw read (no widening) — parallel file IO for the f16-transfer
+// loader path where the payload ships to the device at cache precision.
+void ldm3d_pool_submit_raw(void* pool, const char* path, int64_t offset,
+                           uint8_t* dst, int64_t n_bytes) {
+  auto* p = static_cast<Pool*>(pool);
+  std::string path_copy(path);
+  p->submit([p, path_copy, offset, dst, n_bytes] {
+    if (read_raw(path_copy.c_str(), offset, dst, n_bytes) != 0) {
+      p->errors.fetch_add(1);
+    }
+  });
 }
 
 }  // extern "C"

@@ -110,3 +110,22 @@ def test_nifti_reader_roundtrip(tmp_path):
     np.testing.assert_array_equal(vol, data)
     assert voxsize == (2.0, 2.0, 2.0)
     np.testing.assert_allclose(affine[:3, :3], np.diag([2, 2, 2]))
+
+
+def test_native_raw_f16_batch(cache_dir):
+    """Parallel raw-f16 batch reads match np.load (the f16-transfer path)."""
+    from ldm3d.data.native import NativeReader
+    from ldm3d.data.pipeline import VolumeCache
+
+    reader = NativeReader.maybe_create()
+    if reader is None:
+        pytest.skip("native runtime not built (no g++)")
+    cache = VolumeCache(cache_dir)
+    import os
+    paths = [os.path.join(cache.cache_dir, e["stem"] + "_img.npy")
+             for e in cache.entries[:3]]
+    s = cache.volume_size
+    out = np.empty((3, s, s, s, 1), np.float16)
+    reader.read_batch_f16(paths, out)
+    for i, p in enumerate(paths):
+        np.testing.assert_array_equal(out[i], np.load(p))
