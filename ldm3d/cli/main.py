@@ -69,6 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--timesteps", type=int, default=None)
     p.add_argument("--resume_ckpt", type=int, default=None)
     p.add_argument("--test_run", action="store_true")
+    p.add_argument("--vqvae_mode", type=int, default=None, choices=[1, 2],
+                   help="train the legacy functional VQ-VAE instead of the "
+                        "MONAI family (reference vqvae3d.py via "
+                        "args.vqvae_mode; 2 = residual variant)")
     p.add_argument("--num_embeddings", type=int, default=None)
     p.add_argument("--embedding_dim", type=int, default=None)
     p.add_argument("--dtype", default=None, choices=["bfloat16", "float32"])
@@ -153,6 +157,8 @@ def apply_overrides(cfg, args):
     vq = replace(vq, quantizer=q)
     if args.kernel_resize:
         vq = replace(vq, kernel_resize=True)
+    if args.vqvae_mode is not None:
+        vq = replace(vq, family="legacy", legacy_mode=args.vqvae_mode)
     cfg = replace(cfg, vqvae=vq)
 
     diff = cfg.diffusion

@@ -74,6 +74,12 @@ class VQVAEConfig:
     #   "stride":  res-units BEFORE stride-1 convs + AveragePooling3D downs,
     #              UpSampling3D decoder (vqgan_stride.py:323-340,454)
     arch: str = "attn_cp"
+    # model family when trained standalone: "monai" (vqvae3d_monai.py) or
+    # "legacy" (the keras-tutorial functional VQVAE, vqvae3d.py, selected
+    # upstream by --vqvae_mode; legacy_mode 2 adds the residual 1x1 adds)
+    family: str = "monai"
+    legacy_mode: int = 1
+    legacy_down: int = 3
     # Rematerialize residual units in the backward pass (jax.checkpoint):
     # trades ~15% step-time FLOPs for the activation memory that otherwise
     # caps the 128^3 global batch at 2-3 per chip (16G HBM).

@@ -228,6 +228,20 @@ def _conditional_dm3d() -> ExperimentConfig:
     return _dm(conditional=True, timesteps=500)
 
 
+@register("vqvae_legacy")
+def _vqvae_legacy() -> ExperimentConfig:
+    """Legacy keras-tutorial functional VQ-VAE (reference vqvae3d.py,
+    selected upstream via --vqvae_mode; latent_dim 16, K=64)."""
+    vq = VQVAEConfig(
+        in_channels=1, out_channels=1, family="legacy", legacy_mode=1,
+        legacy_down=3,
+        quantizer=QuantizerConfig(kind="ste", num_embeddings=64,
+                                  embedding_dim=16))
+    return ExperimentConfig(name="vqvae_legacy", model="vqvae", vqvae=vq,
+                            train=TrainConfig(batch_size=8,
+                                              learning_rate=1e-4))
+
+
 @register("smoke")
 def _smoke() -> ExperimentConfig:
     """CPU-runnable smoke config (the reference's --test_run spirit)."""

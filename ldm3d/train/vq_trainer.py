@@ -26,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ldm3d.core.config import TrainConfig, VQVAEConfig
 from ldm3d.models.quantizers import replace_unused_codebooks
 from ldm3d.models.vqvae import VQVAE
+from ldm3d.models.vqvae_legacy import LegacyVQVAE
 from ldm3d.ops.metrics import volume_psnr, volume_ssim
 from ldm3d.parallel.mesh import replicated
 from ldm3d.train.state import TrainState
@@ -50,7 +51,14 @@ class VQTrainer:
         self.train_cfg = train_cfg
         self.mesh = mesh
         dtype = jnp.bfloat16 if train_cfg.dtype == "bfloat16" else jnp.float32
-        self.model = VQVAE(cfg, dtype=dtype)
+        if cfg.family == "legacy":
+            self.model = LegacyVQVAE(
+                latent_dim=cfg.quantizer.embedding_dim,
+                num_embeddings=cfg.quantizer.num_embeddings,
+                mode=cfg.legacy_mode, down=cfg.legacy_down,
+                out_channels=cfg.out_channels, dtype=dtype)
+        else:
+            self.model = VQVAE(cfg, dtype=dtype)
         self.tx = make_optimizer(train_cfg)
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()

@@ -90,3 +90,30 @@ def test_all_presets_construct():
     for n in names:
         cfg = get_preset(n)
         assert cfg.name == n or n == "smoke"
+
+
+def test_legacy_trainer_via_family_config():
+    """The legacy functional VQ-VAE trains through the standard VQTrainer
+    (reference selects it via --vqvae_mode, vqvae3d.py:183-188)."""
+    import jax.numpy as jnp
+
+    from ldm3d.core.config import (QuantizerConfig, TrainConfig, VQVAEConfig,
+                                   replace)
+    from ldm3d.train.vq_trainer import VQTrainer
+
+    vq = VQVAEConfig(
+        in_channels=1, out_channels=1, family="legacy", legacy_mode=2,
+        legacy_down=2,
+        quantizer=QuantizerConfig(kind="ste", num_embeddings=16,
+                                  embedding_dim=8))
+    tr = VQTrainer(vq, TrainConfig(batch_size=2, dtype="float32"))
+    state = tr.init_state(jax.random.PRNGKey(0), (2, 16, 16, 16, 1))
+    vol = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 16, 1))
+    mask = jnp.ones_like(vol)
+    l0 = None
+    for i in range(4):
+        state, metrics = tr.train_step(state, vol, mask)
+        l0 = l0 if l0 is not None else float(metrics["loss"])
+    assert float(metrics["loss"]) < l0
+    recon, _ = tr.reconstruct(state, vol, mask)
+    assert recon.shape == (2, 16, 16, 16, 1)
