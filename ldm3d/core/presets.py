@@ -116,9 +116,11 @@ def _rnsvqvae() -> ExperimentConfig:
 
 @register("emavqvae")
 def _emavqvae() -> ExperimentConfig:
+    """Skip-connection EMA VQ-VAE (reference networks/emavqvae.py +
+    emavqvae_model.py; its main_emavqvae.py is empty upstream)."""
     vq = VQVAEConfig(
-        remat=True, in_channels=1, out_channels=1, num_res_layers=2,
-        **_levels((16, 32, 64, 128)),
+        in_channels=1, out_channels=1, family="ema_skip",
+        **_levels((8, 16, 32, 64)),
         quantizer=QuantizerConfig(kind="ema_sonnet", num_embeddings=512,
                                   embedding_dim=128, commitment_cost=6.0))
     return ExperimentConfig(name="emavqvae", model="emavqvae", vqvae=vq)

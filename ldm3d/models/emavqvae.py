@@ -123,6 +123,18 @@ class EMAVQVAE3D(nn.Module):
                 "perplexity": aux.perplexity}
 
 
+class EMASkipTrainable(EMAVQVAE3D):
+    """(recon, aux) interface over EMAVQVAE3D so the skip-connection EMA
+    family trains through the standard VQTrainer (the reference's
+    main_emavqvae.py is empty — this makes the family actually runnable)."""
+
+    def __call__(self, x, training: bool = True):
+        x1, x2, x3, ze = self.encoder(x, training)
+        zq, aux = self.quantization(ze, training)
+        recon = self.decoder(zq, x1, x2, x3, training)
+        return recon, aux
+
+
 class DoubleConv(nn.Module):
     """emavqvae.py:117-131."""
 

@@ -224,8 +224,10 @@ class VectorQuantizerEMASonnet(nn.Module):
                                        jnp.float32, -0.05, 0.05))
         ema_cluster_size = self.variable(
             "vq_stats", "ema_cluster_size", lambda: jnp.zeros((k,), jnp.float32))
+        # copy, not alias: ema_w sharing the codebook's buffer makes the
+        # donated train-state donate one buffer twice under jit
         ema_w = self.variable(
-            "vq_stats", "ema_w", lambda: codebook.value)
+            "vq_stats", "ema_w", lambda: codebook.value.copy())
 
         flat = _flatten(x, d).astype(jnp.float32)
         indices = nearest_codebook_indices(

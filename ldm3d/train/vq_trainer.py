@@ -51,7 +51,14 @@ class VQTrainer:
         self.train_cfg = train_cfg
         self.mesh = mesh
         dtype = jnp.bfloat16 if train_cfg.dtype == "bfloat16" else jnp.float32
-        if cfg.family == "legacy":
+        if cfg.family == "ema_skip":
+            from ldm3d.models.emavqvae import EMASkipTrainable
+            self.model = EMASkipTrainable(
+                num_channels=cfg.out_channels,
+                num_filters=cfg.num_channels[0],
+                embedding_dim=cfg.quantizer.embedding_dim,
+                num_embeddings=cfg.quantizer.num_embeddings, dtype=dtype)
+        elif cfg.family == "legacy":
             self.model = LegacyVQVAE(
                 latent_dim=cfg.quantizer.embedding_dim,
                 num_embeddings=cfg.quantizer.num_embeddings,

@@ -117,3 +117,33 @@ def test_legacy_trainer_via_family_config():
     assert float(metrics["loss"]) < l0
     recon, _ = tr.reconstruct(state, vol, mask)
     assert recon.shape == (2, 16, 16, 16, 1)
+
+
+def test_ema_skip_trainer_via_family_config():
+    """The skip-connection EMA VQ-VAE (reference emavqvae.py, whose main is
+    empty upstream) trains through the standard VQTrainer."""
+    import jax.numpy as jnp
+
+    from ldm3d.core.config import (QuantizerConfig, TrainConfig, VQVAEConfig,
+                                   replace)
+    from ldm3d.train.vq_trainer import VQTrainer
+
+    vq = VQVAEConfig(
+        in_channels=1, out_channels=1, family="ema_skip",
+        num_channels=(4,), num_res_channels=(4,),
+        downsample_stride=(2,), downsample_kernel=(4,),
+        upsample_stride=(2,), upsample_kernel=(4,),
+        quantizer=QuantizerConfig(kind="ema_sonnet", num_embeddings=16,
+                                  embedding_dim=8, commitment_cost=0.25))
+    tr = VQTrainer(vq, TrainConfig(batch_size=2, dtype="float32",
+                                   learning_rate=1e-3))
+    state = tr.init_state(jax.random.PRNGKey(0), (2, 32, 32, 32, 1))
+    vol = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 32, 1))
+    mask = jnp.ones_like(vol)
+    for _ in range(3):
+        state, metrics = tr.train_step(state, vol, mask)
+    assert np.isfinite(float(metrics["loss"]))
+    recon, aux = tr.reconstruct(state, vol, mask)
+    assert recon.shape == (2, 32, 32, 32, 1)
+    assert float(aux.perplexity) >= 1.0  # >=1 by definition (may collapse
+    # to a single code after 3 tiny steps)
