@@ -24,7 +24,23 @@ from __graft_entry__ import _flagship_cfg
 BASELINE_VOL_PER_MIN = 6.0  # 10 s / volume north-star bar (BASELINE.md)
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: first compiles of the 128^3
+    programs take minutes through this environment's TPU relay; cached
+    reruns take seconds."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/ldm3d_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass  # older jax without these options
+
+
+
 def main():
+    _enable_compile_cache()
     cfg = _flagship_cfg()
     # Sample in a batch of 8: the per-step U-Net at 8^3 latents is
     # launch-bound at batch 1, so batching quadruples measured throughput
