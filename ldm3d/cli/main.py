@@ -95,6 +95,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="DDIM U-Net evaluations (default timesteps//20)")
     p.add_argument("--eta", type=float, default=0.0,
                    help="DDIM stochasticity (0 = deterministic ODE)")
+    p.add_argument("--save_nifti", action="store_true",
+                   help="with --test_dm/--test_vq: also export volumes as "
+                        ".nii.gz (the reference only writes .npy)")
     p.add_argument("--image_log_freq", type=int, default=0,
                    help="save orig-vs-recon / generated-sample slice "
                         "panels every N epochs (reference "
@@ -315,6 +318,11 @@ def run_test_vq(cfg, args):
                     np.asarray(vol, np.float32))
             np.save(os.path.join(args.out_dir, f"reconst_{i}.npy"),
                     np.asarray(recon[..., :1], np.float32))
+            if args.save_nifti:
+                from ldm3d.data.nifti import save_nifti
+                save_nifti(os.path.join(args.out_dir,
+                                        f"reconst_{i}_0.nii.gz"),
+                           np.asarray(recon[0, ..., :1], np.float32))
         print(f"batch {i}: " + " ".join(
             f"{k}={float(v):.5f}" for k, v in metrics.items()))
     print(f"mean reconst MSE over {n} batches: {total_mse / max(n, 1):.6f}")
@@ -443,6 +451,13 @@ def run_test_dm(cfg, args):
             f"{cfg.name}-{cfg.diffusion.timesteps}rsteps{tag}.npy")
         np.save(path, np.asarray(out, np.float32))
         print("saved", path, out.shape)
+        if args.save_nifti:
+            from ldm3d.data.nifti import save_nifti
+            arr = np.asarray(out, np.float32)
+            for b in range(arr.shape[0]):
+                nii = path.replace(".npy", f"_{b}.nii.gz")
+                save_nifti(nii, arr[b])
+                print("saved", nii)
 
 
 def run_sweep(cfg, args):

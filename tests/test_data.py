@@ -129,3 +129,18 @@ def test_native_raw_f16_batch(cache_dir):
     reader.read_batch_f16(paths, out)
     for i, p in enumerate(paths):
         np.testing.assert_array_equal(out[i], np.load(p))
+
+
+def test_save_nifti_roundtrip(tmp_path):
+    """NIfTI-1 writer round-trips through the reader (export path for
+    generated volumes; the reference only writes .npy, dm3d.py:542-544)."""
+    from ldm3d.data.nifti import load_nifti, save_nifti
+
+    vol = np.random.default_rng(3).uniform(size=(8, 10, 12)).astype(
+        np.float32)
+    for name in ("v.nii", "v.nii.gz"):
+        p = str(tmp_path / name)
+        save_nifti(p, vol, voxsize=(1.0, 1.0, 2.0))
+        back, affine = load_nifti(p)
+        np.testing.assert_allclose(back, vol, rtol=1e-6)
+        np.testing.assert_allclose(np.diag(affine)[:3], [1.0, 1.0, 2.0])
