@@ -95,6 +95,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="DDIM U-Net evaluations (default timesteps//20)")
     p.add_argument("--eta", type=float, default=0.0,
                    help="DDIM stochasticity (0 = deterministic ODE)")
+    p.add_argument("--guidance_scale", type=float, default=None,
+                   help="classifier-free guidance scale for test_dm "
+                        "(requires a model trained with cfg_dropout > 0)")
     p.add_argument("--save_nifti", action="store_true",
                    help="with --test_dm/--test_vq: also export volumes as "
                         ".nii.gz (the reference only writes .npy)")
@@ -442,7 +445,8 @@ def run_test_dm(cfg, args):
     for ctx in contexts:
         out = trainer.generate(state, jax.random.PRNGKey(7), shape,
                                context_value=ctx, sampler=args.sampler,
-                               sample_steps=args.sample_steps, eta=args.eta)
+                               sample_steps=args.sample_steps, eta=args.eta,
+                               guidance_scale=args.guidance_scale)
         tag = f"-ctx{ctx}" if ctx is not None else ""
         if args.sampler == "ddim":
             tag = f"-ddim{args.sample_steps or ''}{tag}"

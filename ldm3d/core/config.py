@@ -146,6 +146,11 @@ class UNetConfig:
     num_heads: int = 1
     norm: str = "batch"
     attention_impl: str = "auto"       # "auto" | "xla" | "pallas"
+    # classifier-free guidance (beyond-reference): probability of replacing
+    # the context token with a learned null token during training; > 0
+    # allocates one extra embedding row (null index = context_dim + 1) and
+    # enables guidance_scale at sampling time
+    cfg_dropout: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -240,7 +240,10 @@ class UNet3D(nn.Module):
         if conditional:
             if context is None:
                 raise ValueError("conditional UNet requires a context token")
-            cemb = nn.Embed(cfg.context_dim + 1, stem * 4, dtype=self.dtype,
+            # +1 extra row = the learned null token for classifier-free
+            # guidance (index context_dim + 1) when cfg_dropout is enabled
+            n_tokens = cfg.context_dim + 1 + (1 if cfg.cfg_dropout > 0 else 0)
+            cemb = nn.Embed(n_tokens, stem * 4, dtype=self.dtype,
                             name="context_embed")(context.astype(jnp.int32))
 
         def attend(h, level, site):

@@ -145,8 +145,15 @@ class DiffusionTrainer:
             latents = self.model.apply(
                 variables, images, method="encode_latents")
             latents = jax.lax.stop_gradient(latents)
-            t_rng, n_rng = jax.random.split(rng)
+            t_rng, n_rng, c_rng = jax.random.split(rng, 3)
             b = latents.shape[0]
+            p_drop = self.cfg.unet.cfg_dropout
+            if self.conditional and p_drop > 0:
+                # classifier-free guidance: train the null token by
+                # dropping the context on a random subset of the batch
+                null_tok = self.cfg.unet.context_dim + 1
+                drop = jax.random.bernoulli(c_rng, p_drop, (b,))
+                context = jnp.where(drop, null_tok, context)
             t = jax.random.randint(t_rng, (b,), 0, self.cfg.timesteps)
             noise = jax.random.normal(n_rng, latents.shape, jnp.float32)
             noisy = q_sample(self.sched, latents.astype(jnp.float32), t, noise)
@@ -190,7 +197,8 @@ class DiffusionTrainer:
 
     def generate_fn(self, latent_shape, last_step: int = 0,
                     decode: bool = True, sampler: str = "ddpm",
-                    sample_steps: Optional[int] = None, eta: float = 0.0):
+                    sample_steps: Optional[int] = None, eta: float = 0.0,
+                    guidance_scale: Optional[float] = None):
         """Build the fused jitted sample(+decode) program for a fixed latent
         shape. Returns f(state, rng, context) -> volumes (or latents).
 
@@ -200,8 +208,22 @@ class DiffusionTrainer:
 
         def run(state: TrainState, rng, context):
             variables = self._apply_variables(state)
+            use_cfg = (guidance_scale is not None and self.conditional
+                       and self.cfg.unet.cfg_dropout > 0)
 
             def denoise(x, t):
+                if use_cfg:
+                    # classifier-free guidance: one batched U-Net call over
+                    # [conditional; null] then eps_u + s * (eps_c - eps_u)
+                    null = jnp.full_like(context,
+                                         self.cfg.unet.context_dim + 1)
+                    eps = self.model.apply(
+                        variables, jnp.concatenate([x, x]),
+                        jnp.concatenate([t, t]),
+                        jnp.concatenate([context, null]),
+                        training=False, method="denoise")
+                    eps_c, eps_u = jnp.split(eps, 2)
+                    return eps_u + guidance_scale * (eps_c - eps_u)
                 return self.model.apply(
                     variables, x, t,
                     context if self.conditional else None,
@@ -224,7 +246,8 @@ class DiffusionTrainer:
     def generate(self, state: TrainState, rng, latent_shape,
                  context_value: Optional[int] = None, last_step: int = 0,
                  decode: bool = True, sampler: str = "ddpm",
-                 sample_steps: Optional[int] = None, eta: float = 0.0):
+                 sample_steps: Optional[int] = None, eta: float = 0.0,
+                 guidance_scale: Optional[float] = None):
         """One-call generation (reference `generate` + `test`,
         dm3d.py:510-545), entirely on device."""
         ctx = None
@@ -233,5 +256,5 @@ class DiffusionTrainer:
             ctx = jnp.full((latent_shape[0],), v, jnp.int32)
         fn = self.generate_fn(latent_shape, last_step, decode,
                               sampler=sampler, sample_steps=sample_steps,
-                              eta=eta)
+                              eta=eta, guidance_scale=guidance_scale)
         return fn(state, rng, ctx)

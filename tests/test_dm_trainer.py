@@ -101,3 +101,33 @@ def test_dm_data_parallel_mesh_step():
     assert np.isfinite(float(metrics["loss"]))
     leaf = jax.tree_util.tree_leaves(state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_classifier_free_guidance():
+    """cfg_dropout trains a null token; guided sampling runs, and
+    guidance_scale=1 reproduces plain conditional sampling exactly
+    (eps_u + 1*(eps_c - eps_u) == eps_c)."""
+    from ldm3d.core.config import replace
+    from __graft_entry__ import _flagship_cfg
+
+    cfg = _flagship_cfg(tiny=True)
+    cfg = replace(cfg, unet=replace(cfg.unet, cfg_dropout=0.2))
+    tr = DiffusionTrainer(cfg, TrainConfig(batch_size=2, dtype="float32"),
+                          conditional=True)
+    state = tr.init_state(jax.random.PRNGKey(0), (2, 16, 16, 16, 1))
+    vol = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 16, 1))
+    ctx = jnp.ones((2,), jnp.int32)
+    state, metrics = tr.train_step(state, vol, ctx)
+    assert np.isfinite(float(metrics["loss"]))
+
+    lat = (2, 4, 4, 4, cfg.latent_channels)
+    guided = tr.generate(state, jax.random.PRNGKey(2), lat, context_value=1,
+                         guidance_scale=3.0, decode=False)
+    assert guided.shape == lat and np.isfinite(np.asarray(guided)).all()
+    plain = tr.generate(state, jax.random.PRNGKey(2), lat, context_value=1,
+                        decode=False)
+    scale1 = tr.generate(state, jax.random.PRNGKey(2), lat, context_value=1,
+                         guidance_scale=1.0, decode=False)
+    np.testing.assert_allclose(np.asarray(scale1), np.asarray(plain),
+                               rtol=2e-4, atol=2e-4)
+    assert not np.allclose(np.asarray(guided), np.asarray(plain))
