@@ -1,0 +1,196 @@
+"""Volume-generation server — the production-serving front of the fused
+sampler.
+
+The reference has no serving story (generation = rerun `main.py --test_dm`
+and collect .npy files). Here a checkpointed conditional LDM is loaded
+once, the sample(+decode) program is compiled once per (batch, sampler)
+signature and kept warm, and volumes stream out over HTTP:
+
+  POST /generate {"num": 4, "context": 1, "sampler": "ddim",
+                  "sample_steps": 50, "guidance_scale": null,
+                  "seed": 7, "format": "npy"}
+    -> application/octet-stream (.npy payload, shape [num, H, W, D, 1]);
+       "format": "nii" returns a .nii.gz of the first volume.
+  GET  /healthz  -> {"status": "ok", "model": ..., "compiled": [...]}
+
+Requests are served sequentially (one chip, one program at a time); the
+sampler itself is batched, so throughput comes from `num` per request
+(measured 1079 vol/min/chip at batch 16, PERF.md).
+
+CLI: python -m ldm3d.serve --preset conditional_dm3d \
+         --ckpt_dir ./checkpoints --port 8777
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+class GenerationService:
+    """Owns the trainer state and a cache of compiled sampler programs."""
+
+    def __init__(self, cfg, state, conditional: bool, name: str = "ldm3d"):
+        from ldm3d.train.dm_trainer import DiffusionTrainer
+        from ldm3d.core.config import TrainConfig
+
+        self.cfg = cfg
+        self.name = name
+        self.trainer = DiffusionTrainer(cfg, TrainConfig(batch_size=1),
+                                        conditional=conditional)
+        self.state = state
+        self._programs: Dict[Tuple, object] = {}
+        self._lock = threading.Lock()
+        self._counter = 0
+
+    @classmethod
+    def from_checkpoint(cls, exp_cfg, ckpt_dir: str,
+                        epoch: Optional[int] = None):
+        """Restore the newest (or a specific) checkpoint of a train run."""
+        import jax
+        from ldm3d.core.config import TrainConfig
+        from ldm3d.train.checkpoint import CheckpointManager
+        from ldm3d.train.dm_trainer import DiffusionTrainer
+
+        conditional = exp_cfg.model == "conditional_dm"
+        trainer = DiffusionTrainer(exp_cfg.diffusion, TrainConfig(
+            batch_size=1), conditional=conditional)
+        size = exp_cfg.data.volume_size
+        state = trainer.init_state(
+            jax.random.PRNGKey(0),
+            (1, size, size, size, exp_cfg.diffusion.vqvae.in_channels))
+        mgr = CheckpointManager(ckpt_dir)
+        state, ep = mgr.restore(jax.device_get(state), epoch)
+        svc = cls(exp_cfg.diffusion, state, conditional, name=exp_cfg.name)
+        svc.epoch = ep
+        return svc
+
+    def _program(self, batch: int, sampler: str, sample_steps, guidance):
+        key = (batch, sampler, sample_steps, guidance)
+        prog = self._programs.get(key)
+        if prog is None:
+            c = self.cfg
+            lat = (batch, c.latent_size, c.latent_size, c.latent_size,
+                   c.latent_channels)
+            prog = self.trainer.generate_fn(
+                lat, decode=True, sampler=sampler, sample_steps=sample_steps,
+                guidance_scale=guidance)
+            self._programs[key] = prog
+        return prog
+
+    def generate(self, num: int = 1, context: Optional[int] = None,
+                 sampler: str = "ddpm", sample_steps: Optional[int] = None,
+                 guidance_scale: Optional[float] = None,
+                 seed: Optional[int] = None) -> np.ndarray:
+        import jax
+        import jax.numpy as jnp
+
+        with self._lock:  # one chip: serialize device work
+            fn = self._program(num, sampler, sample_steps, guidance_scale)
+            if seed is None:
+                self._counter += 1
+                seed = self._counter
+            ctx = None
+            if self.trainer.conditional:
+                ctx = jnp.full((num,), int(context or 0), jnp.int32)
+            out = fn(self.state, jax.random.PRNGKey(int(seed)), ctx)
+            return np.asarray(out, np.float32)
+
+    def compiled_signatures(self):
+        return [list(k[:2]) + [k[2], k[3]] for k in self._programs]
+
+
+def _make_handler(svc: GenerationService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok", "model": svc.name,
+                                 "compiled": svc.compiled_signatures()})
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                vols = svc.generate(
+                    num=int(req.get("num", 1)),
+                    context=req.get("context"),
+                    sampler=req.get("sampler", "ddpm"),
+                    sample_steps=req.get("sample_steps"),
+                    guidance_scale=req.get("guidance_scale"),
+                    seed=req.get("seed"))
+            except Exception as e:
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            fmt = req.get("format", "npy")
+            buf = io.BytesIO()
+            if fmt == "nii":
+                import tempfile, os
+                from ldm3d.data.nifti import save_nifti
+                with tempfile.NamedTemporaryFile(suffix=".nii.gz",
+                                                 delete=False) as f:
+                    tmp = f.name
+                save_nifti(tmp, vols[0])
+                with open(tmp, "rb") as f:
+                    buf.write(f.read())
+                os.remove(tmp)
+            else:
+                np.save(buf, vols)
+            payload = buf.getvalue()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+    return Handler
+
+
+def serve(svc: GenerationService, host: str = "127.0.0.1",
+          port: int = 8777) -> HTTPServer:
+    server = HTTPServer((host, port), _make_handler(svc))
+    return server
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("ldm3d.serve")
+    ap.add_argument("--preset", default="conditional_dm3d")
+    ap.add_argument("--ckpt_dir", required=True,
+                    help="checkpoint dir of the --train_dm run")
+    ap.add_argument("--epoch", type=int, default=None)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8777)
+    args = ap.parse_args(argv)
+
+    from ldm3d.core.presets import get_preset
+    svc = GenerationService.from_checkpoint(get_preset(args.preset),
+                                            args.ckpt_dir, args.epoch)
+    server = serve(svc, args.host, args.port)
+    print(f"serving {svc.name} (epoch {svc.epoch}) "
+          f"on http://{args.host}:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
