@@ -144,3 +144,70 @@ def test_save_nifti_roundtrip(tmp_path):
         back, affine = load_nifti(p)
         np.testing.assert_allclose(back, vol, rtol=1e-6)
         np.testing.assert_allclose(np.diag(affine)[:3], [1.0, 1.0, 2.0])
+
+
+def _write_vol(path, vol, voxsize=(1.0, 1.0, 1.0)):
+    from ldm3d.data.nifti import save_nifti
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    save_nifti(path, vol, voxsize=voxsize)
+
+
+def test_load_transform_img_dataset_rules(tmp_path):
+    """Per-dataset mask + context rules (reference dataset_utils.py:141-188):
+    CC359 multiplies by the STAPLE mask then returns a ZERO mask channel
+    (as the reference does), BraTS binarizes the seg mask and sets
+    context=1, HCP gets a zero mask; volumes are min-max'd to [0,1]."""
+    import os
+    from ldm3d.data.nifti import load_transform_img
+
+    rng = np.random.default_rng(0)
+    vol = rng.uniform(0.0, 100.0, size=(32, 32, 32)).astype(np.float32)
+
+    # CC359: brain mask zeroes half the volume
+    cc = str(tmp_path / "CC359" / "Original" / "subj1.nii.gz")
+    staple = str(tmp_path / "CC359" / "STAPLE" / "subj1_staple.nii.gz")
+    m = np.zeros_like(vol); m[8:24, 8:24, 8:24] = 1.0
+    _write_vol(cc, vol); _write_vol(staple, m)
+    v, mask, ctx = load_transform_img(cc)
+    assert v.shape == (128, 128, 128, 1) and ctx == 0
+    assert v.min() >= 0.0 and v.max() <= 1.0
+    assert mask.max() == 0.0       # reference zeroes the non-BraTS mask
+
+    # BraTS: tumor seg -> binary mask channel, context 1
+    t1 = str(tmp_path / "BraTS2021" / "case" / "case_t1.nii.gz")
+    seg = str(tmp_path / "BraTS2021" / "case" / "case_seg.nii.gz")
+    sm = np.zeros_like(vol); sm[10:16, 10:16, 10:16] = 4.0  # label > 1
+    _write_vol(t1, vol, voxsize=(2, 2, 2)); _write_vol(seg, sm,
+                                                       voxsize=(2, 2, 2))
+    v, mask, ctx = load_transform_img(t1)
+    assert v.shape == (128, 128, 128, 1) and ctx == 1
+    assert set(np.unique(mask)) <= {0.0, 1.0}   # binarized
+    assert mask.sum() > 0
+
+    # HCP (any other path): zero mask, context 0
+    hcp = str(tmp_path / "HCP_T1" / "T1" / "x.nii.gz")
+    _write_vol(hcp, vol)
+    v, mask, ctx = load_transform_img(hcp)
+    assert ctx == 0 and mask.max() == 0.0 and np.isfinite(v).all()
+
+
+def test_get_dataset_list_layout(tmp_path):
+    """Dataset discovery globs the reference's directory layout
+    (dataset_utils.py:27-82) with deterministic ordering and --test_run
+    truncation."""
+    from ldm3d.data.nifti import get_dataset_list
+
+    d = str(tmp_path)
+    vol = np.zeros((4, 4, 4), np.float32)
+    _write_vol(os.path.join(d, "CC359", "Original", "b.nii.gz"), vol)
+    _write_vol(os.path.join(d, "CC359", "Original", "a.nii.gz"), vol)
+    _write_vol(os.path.join(d, "HCP_T1", "T1", "h.nii.gz"), vol)
+    _write_vol(os.path.join(d, "BraTS2021", "c1", "c1_t1.nii.gz"), vol)
+    _write_vol(os.path.join(
+        d, "NFBS_Dataset", "s1", "sub-1_ses-NFB3_T1w_brain.nii.gz"), vol)
+
+    cc = get_dataset_list("CC", dataset_dir=d)
+    assert [os.path.basename(p) for p in cc] == ["a.nii.gz", "b.nii.gz"]
+    assert len(get_dataset_list("all", dataset_dir=d)) == 4
+    assert len(get_dataset_list("all-T", dataset_dir=d)) == 5
+    assert len(get_dataset_list("all-T", True, dataset_dir=d)) == 5  # <24
