@@ -8,7 +8,11 @@ run on the MXU, and memory is O(N * C) instead of O(N^2) — full-resolution
 attention at 32^3+ grids becomes feasible (SURVEY.md §2.6 SP/CP row).
 
 `impl="auto"` uses the Pallas kernel on TPU when shapes align and plain XLA
-attention elsewhere (CPU tests, tiny sequences).
+attention elsewhere (CPU tests, tiny sequences). Sequence lengths that do not
+divide the block sizes are handled inside the kernel: the padded tail of the
+last key block is masked to -inf before it enters the online softmax, so any
+(nq, nkv) is safe (padded query rows compute garbage that the output
+BlockSpec discards on store).
 """
 
 from __future__ import annotations
@@ -32,7 +36,7 @@ def _attention_xla(q: jax.Array, k: jax.Array, v: jax.Array,
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
-                  scale: float, nk: int):
+                  scale: float, nk: int, nkv: int, block_k: int):
     ik = pl.program_id(2)
 
     @pl.when(ik == 0)
@@ -47,6 +51,17 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale   # [BQ, BK]
+
+    # Mask the padded tail of the final key block: columns at global index
+    # >= nkv hold unspecified pad data (NaN in interpret mode) and must not
+    # enter the softmax; the matching v rows must be zeroed too, because
+    # even a zero probability times a NaN pad value poisons the p @ v
+    # accumulation.
+    if nkv % block_k != 0:
+        col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < nkv, s, _NEG_INF)
+        vrow = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+        v = jnp.where(vrow < nkv, v, 0)
 
     m_prev = m_ref[:]                              # [BQ, 1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -64,7 +79,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
 
 
 def _attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
-                      block_q: int = 1024, block_k: int = 1024) -> jax.Array:
+                      block_q: int = 1024, block_k: int = 1024,
+                      interpret: bool = False) -> jax.Array:
     # Block size measured on TPU v5e at seq 32768, C=64: 512^2 -> 6.0 ms,
     # 1024^2 -> 2.45 ms (vs 16.9 ms XLA), 2048-blocks regress (VMEM).
     b, nq, c = q.shape
@@ -73,7 +89,8 @@ def _attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
     block_k = min(block_k, nkv)
     grid = (b, pl.cdiv(nq, block_q), pl.cdiv(nkv, block_k))
 
-    kernel = functools.partial(_flash_kernel, scale=scale, nk=grid[2])
+    kernel = functools.partial(_flash_kernel, scale=scale, nk=grid[2],
+                               nkv=nkv, block_k=block_k)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -98,6 +115,7 @@ def _attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
             transcendentals=b * nq * nkv,
         ),
+        interpret=interpret,
     )(q, k, v)
 
 
@@ -109,9 +127,11 @@ def _pallas_ok(q: jax.Array, k: jax.Array) -> bool:
     # XLA's fused attention wins below ~8k^2 scores (measured: seq 4096 XLA
     # 0.47 ms vs Pallas 0.92 ms; seq 32768 XLA 16.9 ms vs Pallas 2.5 ms) —
     # the kernel pays off once the score matrix stops fitting cache-friendly
-    # fusion, i.e. full-resolution attention at 32^3+ voxel grids.
-    return (nq % 128 == 0 and nkv % 128 == 0 and c % 128 == 0
-            and nq * nkv >= 8192 * 8192)
+    # fusion, i.e. full-resolution attention at 32^3+ voxel grids. The U-Net
+    # head widths are 64/128/256 (conditional_dm3d.py:321 stem 32 doubling
+    # up), so C must admit 64: lane-dim 64 relayouts on the MXU but was
+    # measured fast (2.45 ms at seq 32768, C=64 — the PERF.md number).
+    return c % 64 == 0 and nq * nkv >= 8192 * 8192
 
 
 def voxel_attention(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -123,10 +143,14 @@ def voxel_attention(q: jax.Array, k: jax.Array, v: jax.Array,
       q, k, v: [B(. heads folded into B), N, C].
       scale: score scale; defaults to C ** -0.5 as the reference
         (dm3d.py:44 uses units^-0.5).
-      impl: "auto" | "xla" | "pallas".
+      impl: "auto" | "xla" | "pallas". "pallas" forces the flash kernel
+        (interpreted off-TPU so tests can exercise it on CPU).
     """
     if scale is None:
         scale = float(q.shape[-1]) ** -0.5
-    if impl == "pallas" or (impl == "auto" and _pallas_ok(q, k)):
+    if impl == "pallas":
+        return _attention_pallas(q, k, v, scale,
+                                 interpret=jax.default_backend() != "tpu")
+    if impl == "auto" and _pallas_ok(q, k):
         return _attention_pallas(q, k, v, scale)
     return _attention_xla(q, k, v, scale)
