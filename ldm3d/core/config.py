@@ -66,7 +66,7 @@ class VQVAEConfig:
     dropout: float = 0.0
     kernel_resize: bool = False        # ICNR checkerboard-free transpose init
     norm: str = "batch"                # "batch" | "group" (vqgan_attn_cp uses group)
-    act: str = "relu"                  # relu|silu|swish|leaky_relu|siren (vqgan.py:23-29)
+    act: str = "relu"                  # relu|silu|swish|leaky_relu|siren (vqgan.py:23-29)|prelu (vqgan.py:652)
     output_act: Optional[str] = None
     # autoencoder architecture family when used inside a VQ-GAN:
     #   "attn_cp": GroupNorm/SiLU k3 stem + k4-s2 downs (vqgan_attn_cp.py)

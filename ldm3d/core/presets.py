@@ -148,7 +148,7 @@ def _vqgan_baseline() -> ExperimentConfig:
     BCE generator loss, disc lr 1e-5 (main_exp_vqgan.py:59-60)."""
     ae = VQVAEConfig(
         remat=True, in_channels=2, out_channels=2, num_res_layers=3, norm="batch",
-        act="prelu" if False else "relu", arch="monai",
+        act="prelu", arch="monai",
         **_levels((32, 64, 128)),
         quantizer=QuantizerConfig(kind="ste", num_embeddings=512,
                                   embedding_dim=256))

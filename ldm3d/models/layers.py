@@ -62,6 +62,18 @@ class PReLU(nn.Module):
         return jnp.where(x >= 0, x, alpha * x)
 
 
+def act_layer(name: Optional[str], dtype: Optional[Dtype] = None,
+              layer_name: Optional[str] = None
+              ) -> Callable[[jax.Array], jax.Array]:
+    """Activation usable inside `nn.compact`: unlike `get_act` it also
+    supports "prelu", returned as a learnable `PReLU` module — the
+    reference's default activation for the VQGAN encoder/decoder
+    (reference networks/vqgan.py:650-652 `act_fn='prelu'`)."""
+    if name == "prelu":
+        return PReLU(dtype=dtype, name=layer_name)
+    return get_act(name)
+
+
 def get_act(name: Optional[str]) -> Callable[[jax.Array], jax.Array]:
     if name is None:
         return lambda x: x

@@ -128,7 +128,7 @@ class StrideEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = True) -> jax.Array:
-        from ldm3d.models.layers import avgpool3d, get_act
+        from ldm3d.models.layers import act_layer, avgpool3d
         cfg = self.cfg
         for i, ch in enumerate(cfg.num_channels):
             for j in range(cfg.num_res_layers):
@@ -139,7 +139,7 @@ class StrideEncoder(nn.Module):
                                       name=f"res_{i}_{j}")(x, training)
             x = conv3d(ch, 4, stride=1, dtype=self.dtype,
                        name=f"conv_{i}")(x)
-            x = get_act(cfg.act)(x)
+            x = act_layer(cfg.act, self.dtype, f"act_{i}")(x)
             x = avgpool3d(x, 2)
         return conv3d(cfg.quantizer.embedding_dim, 3, dtype=self.dtype,
                       name="to_latent")(x)
@@ -154,7 +154,7 @@ class StrideDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = True) -> jax.Array:
-        from ldm3d.models.layers import get_act, upsample3d
+        from ldm3d.models.layers import act_layer, upsample3d
         cfg = self.cfg
         rev = list(reversed(cfg.num_channels))
         rev_res = list(reversed(cfg.num_res_channels))
@@ -170,7 +170,7 @@ class StrideDecoder(nn.Module):
             x = conv3d(out_ch, 4, stride=1, dtype=self.dtype,
                        name=f"conv_{i}")(x)
             if i != len(rev) - 1:
-                x = get_act(cfg.act)(x)
+                x = act_layer(cfg.act, self.dtype, f"act_{i}")(x)
         return x
 
 

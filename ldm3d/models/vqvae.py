@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ldm3d.core.config import VQVAEConfig
 from ldm3d.models.layers import (
-    Norm, PReLU, conv3d, conv3d_transpose, get_act)
+    Norm, PReLU, act_layer, conv3d, conv3d_transpose)
 from ldm3d.models.quantizers import QuantAux, make_quantizer
 
 
@@ -39,7 +39,7 @@ class VQVAEResidualUnit(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = True) -> jax.Array:
-        act = get_act(self.act)
+        act = act_layer(self.act, self.dtype, "act1")
         h = conv3d(self.num_res_channels, 3, dtype=self.dtype, name="conv1")(x)
         h = act(h)
         h = conv3d(self.input_channels, 3, dtype=self.dtype, name="conv2")(h)
@@ -121,7 +121,7 @@ class Decoder(nn.Module):
                     x = nn.Dropout(cfg.dropout, deterministic=not training)(x)
                 x = jax.nn.relu(x)
         if cfg.output_act:
-            x = get_act(cfg.output_act)(x)
+            x = act_layer(cfg.output_act, self.dtype, "output_act")(x)
         return x
 
 

@@ -147,3 +147,33 @@ def test_ema_skip_trainer_via_family_config():
     assert recon.shape == (2, 32, 32, 32, 1)
     assert float(aux.perplexity) >= 1.0  # >=1 by definition (may collapse
     # to a single code after 3 tiny steps)
+
+
+@pytest.mark.parametrize("arch", ["monai", "stride"])
+def test_prelu_activation_representable(arch):
+    # reference networks/vqgan.py:650-652: the VQGAN encoder/decoder default
+    # activation is a learnable PReLU; VERDICT r1 #17 flagged it as
+    # unrepresentable (get_act had no "prelu" and the preset carried dead
+    # code). act="prelu" must now create learnable alpha params.
+    cfg = VQVAEConfig(
+        in_channels=2, out_channels=2, num_channels=(4, 8),
+        num_res_channels=(4, 8), num_res_layers=1, act="prelu",
+        norm="batch" if arch == "monai" else "group", arch=arch,
+        quantizer=QuantizerConfig(kind="ste", num_embeddings=16,
+                                  embedding_dim=8))
+    m = VQGANAutoencoder(cfg, dtype=jnp.float32)
+    x = jnp.full((1, 16, 16, 16, 2), -1.0)
+    var = m.init({"params": jax.random.PRNGKey(0),
+                  "noise": jax.random.PRNGKey(1)}, x, training=False)
+    flat = jax.tree_util.tree_leaves_with_path(var["params"])
+    alphas = [p for p, _ in flat if any(
+        getattr(k, "key", "") in ("act1", "output_act") or
+        str(getattr(k, "key", "")).startswith("act_") for k in p)]
+    assert alphas, "act='prelu' produced no learnable alpha parameters"
+    recon, _ = m.apply(var, x, training=False)
+    assert recon.shape == x.shape
+
+
+def test_vqgan_baseline_preset_uses_prelu():
+    from ldm3d.core.presets import get_preset
+    assert get_preset("vqgan_baseline").vqgan.ae.act == "prelu"
