@@ -183,8 +183,15 @@ def apply_overrides(cfg, args):
     return cfg
 
 
-def _loaders(cfg, args):
-    """Build train/val loaders from the cache (or synthetic volumes)."""
+def _loaders(cfg, args, mesh=None):
+    """Build train/val loaders from the cache (or synthetic volumes).
+
+    With a mesh, every batch the loaders yield is placed with the mesh's
+    batch sharding (data axis always, one spatial axis over 'space' when
+    the mesh has one) — the user-facing equivalent of the reference's
+    AutoShardPolicy.DATA (reference main.py:154-173), so multi-chip DP
+    works straight through the CLI rather than computing the full batch
+    redundantly on every device."""
     import jax
     from ldm3d.data.pipeline import (DataLoader, VolumeCache,
                                      train_val_split, write_synthetic_cache)
@@ -199,11 +206,15 @@ def _loaders(cfg, args):
             f"no cache at {cache_dir}: run --create_dataset first "
             f"(or pass --synthetic)")
     cache = VolumeCache(cache_dir)
+    spatial_axis = 3 if (mesh is not None and mesh.shape.get("space", 1) > 1) \
+        else None
     tr, va = train_val_split(cache, cfg.train.val_fraction, cfg.train.seed)
     train = DataLoader(cache, cfg.train.batch_size, cfg.data,
-                       seed=cfg.train.seed, train=True, indices=tr)
+                       seed=cfg.train.seed, train=True, indices=tr,
+                       mesh=mesh, spatial_axis=spatial_axis)
     val = DataLoader(cache, cfg.train.batch_size, cfg.data,
-                     seed=cfg.train.seed, train=False, indices=va) \
+                     seed=cfg.train.seed, train=False, indices=va,
+                     mesh=mesh, spatial_axis=spatial_axis) \
         if len(va) >= cfg.train.batch_size else None
     return train, val
 
@@ -220,8 +231,8 @@ def run_train_vq(cfg, args):
     from ldm3d.train.checkpoint import CheckpointManager
     from ldm3d.train.loop import fit
 
-    mesh = make_mesh(cfg.train.mesh)
-    train_loader, val_loader = _loaders(cfg, args)
+    mesh = make_mesh(cfg.train.mesh, batch_size=cfg.train.batch_size)
+    train_loader, val_loader = _loaders(cfg, args, mesh=mesh)
     size = cfg.data.volume_size
     n_ch = (cfg.vqgan.ae if cfg.model == "vqgan" else cfg.vqvae).in_channels
     sample = (cfg.train.batch_size, size, size, size, n_ch)
@@ -291,8 +302,8 @@ def run_test_vq(cfg, args):
     from ldm3d.parallel.mesh import make_mesh
     from ldm3d.train.checkpoint import CheckpointManager
 
-    mesh = make_mesh(cfg.train.mesh)
-    _, val_loader = _loaders(cfg, args)
+    mesh = make_mesh(cfg.train.mesh, batch_size=cfg.train.batch_size)
+    _, val_loader = _loaders(cfg, args, mesh=mesh)
     if val_loader is None:
         raise SystemExit("validation split is empty")
     size = cfg.data.volume_size
@@ -315,17 +326,18 @@ def run_test_vq(cfg, args):
         metrics = trainer.eval_step(state, vol, mask)
         total_mse += float(metrics["reconst_loss"])
         n += 1
-        if i < 4:  # save a few original/recon pairs like the reference
-            recon, _ = trainer.reconstruct(state, vol, mask)
-            np.save(os.path.join(args.out_dir, f"original_{i}.npy"),
-                    np.asarray(vol, np.float32))
-            np.save(os.path.join(args.out_dir, f"reconst_{i}.npy"),
-                    np.asarray(recon[..., :1], np.float32))
-            if args.save_nifti:
-                from ldm3d.data.nifti import save_nifti
-                save_nifti(os.path.join(args.out_dir,
-                                        f"reconst_{i}_0.nii.gz"),
-                           np.asarray(recon[0, ..., :1], np.float32))
+        # save every test batch's original/recon pair, as the reference
+        # does (main.py:356-370)
+        recon, _ = trainer.reconstruct(state, vol, mask)
+        np.save(os.path.join(args.out_dir, f"original_{i}.npy"),
+                np.asarray(vol, np.float32))
+        np.save(os.path.join(args.out_dir, f"reconst_{i}.npy"),
+                np.asarray(recon[..., :1], np.float32))
+        if args.save_nifti:
+            from ldm3d.data.nifti import save_nifti
+            save_nifti(os.path.join(args.out_dir,
+                                    f"reconst_{i}_0.nii.gz"),
+                       np.asarray(recon[0, ..., :1], np.float32))
         print(f"batch {i}: " + " ".join(
             f"{k}={float(v):.5f}" for k, v in metrics.items()))
     print(f"mean reconst MSE over {n} batches: {total_mse / max(n, 1):.6f}")
@@ -345,8 +357,8 @@ def run_train_dm(cfg, args):
     from ldm3d.train.checkpoint import CheckpointManager
     from ldm3d.train.loop import fit
 
-    mesh = make_mesh(cfg.train.mesh)
-    train_loader, val_loader = _loaders(cfg, args)
+    mesh = make_mesh(cfg.train.mesh, batch_size=cfg.train.batch_size)
+    train_loader, val_loader = _loaders(cfg, args, mesh=mesh)
     size = cfg.data.volume_size
     trainer = _dm_trainer(cfg, args, mesh)
 
@@ -427,7 +439,7 @@ def run_test_dm(cfg, args):
     from ldm3d.parallel.mesh import make_mesh
     from ldm3d.train.checkpoint import CheckpointManager
 
-    mesh = make_mesh(cfg.train.mesh)
+    mesh = make_mesh(cfg.train.mesh, batch_size=cfg.train.batch_size)
     size = cfg.data.volume_size
     trainer = _dm_trainer(cfg, args, mesh)
     state = trainer.init_state(

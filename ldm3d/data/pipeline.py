@@ -132,7 +132,8 @@ class DataLoader:
     def __init__(self, cache: VolumeCache, batch_size: int, cfg: DataConfig,
                  seed: int = 0, train: bool = True,
                  indices: Optional[Sequence[int]] = None,
-                 prefetch: int = 2):
+                 prefetch: int = 2, mesh=None,
+                 spatial_axis: Optional[int] = None):
         self.cache = cache
         self.batch_size = batch_size
         self.cfg = cfg
@@ -141,7 +142,23 @@ class DataLoader:
         self.indices = list(indices if indices is not None
                             else range(len(cache)))
         self.prefetch = prefetch
+        self.mesh = mesh
+        self.spatial_axis = spatial_axis
         self._epoch = 0
+
+    def _shardings(self):
+        """Batch shardings for (vol, mask, ctx) when a mesh is attached:
+        volumes batch-split over 'data' (optionally one spatial axis over
+        'space'), contexts over 'data'. This is the TPU-native equivalent
+        of the reference's AutoShardPolicy.DATA input pipeline
+        (reference main.py:154-173)."""
+        if self.mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ldm3d.parallel.mesh import DATA_AXIS, batch_sharding
+        vol_sh = batch_sharding(self.mesh, self.spatial_axis)
+        ctx_sh = NamedSharding(self.mesh, P(DATA_AXIS))
+        return vol_sh, ctx_sh
 
     def __len__(self) -> int:
         return len(self.indices) // self.batch_size
@@ -217,14 +234,25 @@ class DataLoader:
             if item is sentinel:
                 break
             vol, mask, ctx = item
-            # transfer at the host dtype (f16 halves bytes), widen on device
-            vol = jnp.asarray(vol).astype(jnp.float32)
-            mask = jnp.asarray(mask).astype(jnp.float32)
+            # transfer at the host dtype (f16 halves bytes), widen on device;
+            # with a mesh attached the transfer lands directly on the
+            # mesh-sharded layout, so each device receives only its own
+            # batch (and spatial) shard
+            shardings = self._shardings()
+            if shardings is not None:
+                vol_sh, ctx_sh = shardings
+                vol = jax.device_put(vol, vol_sh).astype(jnp.float32)
+                mask = jax.device_put(mask, vol_sh).astype(jnp.float32)
+                ctx = jax.device_put(ctx, ctx_sh)
+            else:
+                vol = jnp.asarray(vol).astype(jnp.float32)
+                mask = jnp.asarray(mask).astype(jnp.float32)
+                ctx = jnp.asarray(ctx)
             if self.train and self.cfg.augment:
                 vol, mask = augment_batch(
                     jax.random.fold_in(aug_key, step), vol, mask, self.cfg)
             step += 1
-            yield vol, mask, jnp.asarray(ctx)
+            yield vol, mask, ctx
 
 
 def train_val_split(cache: VolumeCache, val_fraction: float, seed: int = 0):

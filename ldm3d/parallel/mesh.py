@@ -29,15 +29,34 @@ SPACE_AXIS = "space"
 
 
 def make_mesh(cfg: Optional[MeshConfig] = None,
-              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+              devices: Optional[Sequence[jax.Device]] = None,
+              batch_size: Optional[int] = None) -> Mesh:
+    """Build the (data, space) mesh.
+
+    With `cfg.data == -1` (the default "use everything") and a
+    `batch_size`, the data axis is clamped to the largest DP degree the
+    global batch can actually be split over (gcd of batch and available
+    devices) — a fixed-batch preset on a larger host then trains on a
+    valid submesh instead of failing the batch sharding. An explicitly
+    configured data axis is honored verbatim."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     space = 1 if cfg is None else max(cfg.space, 1)
-    data = (n // space) if (cfg is None or cfg.data == -1) else cfg.data
-    if data * space != n:
+    if cfg is None or cfg.data == -1:
+        data = n // space
+        if batch_size is not None and data > 1 and batch_size % data != 0:
+            import math
+            data = math.gcd(batch_size, data)
+    else:
+        data = cfg.data
+    used = data * space
+    if used > n or used < 1:
+        raise ValueError(
+            f"mesh {data}x{space} does not fit on {n} devices")
+    if (cfg is not None and cfg.data != -1) and used != n:
         raise ValueError(
             f"mesh {data}x{space} does not cover {n} devices")
-    dev_array = np.asarray(devices).reshape(data, space)
+    dev_array = np.asarray(devices[:used]).reshape(data, space)
     return Mesh(dev_array, (DATA_AXIS, SPACE_AXIS))
 
 

@@ -112,3 +112,32 @@ def test_vq_train_step_data_space_mesh():
         losses[name] = float(metrics["loss"])
         assert np.isfinite(losses[name])
     assert np.isclose(losses["data"], losses["flat"], rtol=1e-4)
+
+
+def test_make_mesh_clamps_data_axis_to_batch():
+    # a fixed-batch preset (bs=2) on an 8-device host must get a feasible
+    # DP degree, not an unshardable P('data') placement
+    mesh = make_mesh(MeshConfig(data=-1, space=1), batch_size=2)
+    assert mesh.shape[DATA_AXIS] == 2
+    mesh = make_mesh(MeshConfig(data=-1, space=1), batch_size=16)
+    assert mesh.shape[DATA_AXIS] == 8
+    # explicit data axis is honored verbatim (and still validated)
+    mesh = make_mesh(MeshConfig(data=8, space=1), batch_size=2)
+    assert mesh.shape[DATA_AXIS] == 8
+
+
+def test_dataloader_yields_mesh_sharded_batches(tmp_path):
+    from ldm3d.core.config import DataConfig
+    from ldm3d.data.pipeline import (DataLoader, VolumeCache,
+                                     write_synthetic_cache)
+    write_synthetic_cache(str(tmp_path), 8, 16, seed=0)
+    cache = VolumeCache(str(tmp_path))
+    mesh = make_mesh(MeshConfig(data=4, space=2))
+    loader = DataLoader(cache, 4, DataConfig(volume_size=16), train=True,
+                        mesh=mesh, spatial_axis=3)
+    vol, mask, ctx = next(iter(loader))
+    assert vol.sharding.spec == P(DATA_AXIS, None, None, SPACE_AXIS, None)
+    assert mask.sharding.spec == P(DATA_AXIS, None, None, SPACE_AXIS, None)
+    assert ctx.sharding.spec == P(DATA_AXIS)
+    assert len(vol.sharding.device_set) == 8
+    assert vol.dtype == jnp.float32
