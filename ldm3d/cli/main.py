@@ -98,6 +98,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--guidance_scale", type=float, default=None,
                    help="classifier-free guidance scale for test_dm "
                         "(requires a model trained with cfg_dropout > 0)")
+    p.add_argument("--cfg_dropout", type=float, default=None,
+                   help="context-drop probability during --train_dm; > 0 "
+                        "trains the null token classifier-free guidance "
+                        "needs (pass the same value to --test_dm so the "
+                        "checkpoint restores)")
     p.add_argument("--save_nifti", action="store_true",
                    help="with --test_dm/--test_vq: also export volumes as "
                         ".nii.gz (the reference only writes .npy)")
@@ -170,6 +175,9 @@ def apply_overrides(cfg, args):
     diff = cfg.diffusion
     if args.timesteps is not None:
         diff = replace(diff, timesteps=args.timesteps)
+    if getattr(args, "cfg_dropout", None) is not None:
+        diff = replace(diff, unet=replace(diff.unet,
+                                          cfg_dropout=args.cfg_dropout))
     cfg = replace(cfg, diffusion=diff)
 
     if args.disc_threshold is not None:
@@ -405,10 +413,13 @@ def run_train_dm(cfg, args):
         contexts = [0, 1] if cfg.model == "conditional_dm" else [None]
 
         def render(state):
+            # the trainer caches the compiled sampler per shape, so only
+            # the first log epoch pays the compile; DDIM keeps log epochs
+            # cheap (a handful of U-Net evals vs the full T-step chain)
             out = {}
             for c in contexts:
                 vols = trainer.generate(state, jax.random.PRNGKey(11), lat,
-                                        context_value=c)
+                                        context_value=c, sampler="ddim")
                 tag = f"generated_ctx{c}" if c is not None else "generated"
                 out[tag] = np.asarray(vols, np.float32)
             return out

@@ -84,12 +84,38 @@ class GenerationService:
             self._programs[key] = prog
         return prog
 
+    MAX_BATCH = 32
+
     def generate(self, num: int = 1, context: Optional[int] = None,
                  sampler: str = "ddpm", sample_steps: Optional[int] = None,
                  guidance_scale: Optional[float] = None,
                  seed: Optional[int] = None) -> np.ndarray:
         import jax
         import jax.numpy as jnp
+
+        # Validate request-shaped inputs BEFORE they reach the program
+        # cache: every distinct (num, sampler, steps, guidance) tuple
+        # compiles and permanently caches a device program, so unbounded
+        # values are a compile/HBM exhaustion vector.
+        num = int(num)
+        if not 1 <= num <= self.MAX_BATCH:
+            raise ValueError(f"num must be in [1, {self.MAX_BATCH}]")
+        if sampler not in ("ddpm", "ddim"):
+            raise ValueError("sampler must be 'ddpm' or 'ddim'")
+        if sampler != "ddim":
+            sample_steps = None  # only DDIM strides; don't fork the cache
+        if sample_steps is not None:
+            sample_steps = int(sample_steps)
+            if not 1 <= sample_steps <= self.cfg.timesteps:
+                raise ValueError(
+                    f"sample_steps must be in [1, {self.cfg.timesteps}]")
+        if guidance_scale is not None:
+            guidance_scale = float(guidance_scale)
+        if self.trainer.conditional:
+            context = 0 if context is None else int(context)
+            max_ctx = self.cfg.unet.context_dim
+            if not 0 <= context <= max_ctx:
+                raise ValueError(f"context must be in [0, {max_ctx}]")
 
         with self._lock:  # one chip: serialize device work
             fn = self._program(num, sampler, sample_steps, guidance_scale)

@@ -87,7 +87,10 @@ class DiffusionTrainer:
             learning_rate=train_cfg.learning_rate, b1=train_cfg.adam_b1,
             b2=train_cfg.adam_b2)
         self._train_step = self._build_train_step()
-        self._generate = None  # compiled lazily per latent shape
+        # compiled samplers, keyed by (shape, sampler, steps, ...): reused
+        # across generate() calls so per-epoch image logging / serving does
+        # not recompile the T-step scan every time
+        self._generate_cache: Dict[tuple, Any] = {}
 
     # -- init -------------------------------------------------------------
 
@@ -204,12 +207,32 @@ class DiffusionTrainer:
 
         sampler="ddpm" runs the reference's full T-step chain;
         sampler="ddim" runs the strided fast sampler (`sample_steps`
-        U-Net evaluations, default T//20, eta=0 deterministic)."""
+        U-Net evaluations, default T//20, eta=0 deterministic).
+
+        Programs are cached per argument tuple, so repeated calls (image
+        logging every N epochs, serving) reuse the compiled sampler.
+
+        `guidance_scale` requires a model trained with cfg_dropout > 0 —
+        without the learned null token, guided sampling would silently
+        produce unguided samples, so that combination raises instead."""
+        if guidance_scale is not None:
+            if not self.conditional:
+                raise ValueError(
+                    "guidance_scale requires a conditional model")
+            if self.cfg.unet.cfg_dropout <= 0:
+                raise ValueError(
+                    "guidance_scale requires a model trained with "
+                    "cfg_dropout > 0 (train with --cfg_dropout); this "
+                    "model never learned the null context token, so "
+                    "guided sampling would be a silent no-op")
+        key = (tuple(latent_shape), last_step, decode, sampler,
+               sample_steps, eta, guidance_scale)
+        if key in self._generate_cache:
+            return self._generate_cache[key]
 
         def run(state: TrainState, rng, context):
             variables = self._apply_variables(state)
-            use_cfg = (guidance_scale is not None and self.conditional
-                       and self.cfg.unet.cfg_dropout > 0)
+            use_cfg = guidance_scale is not None
 
             def denoise(x, t):
                 if use_cfg:
@@ -241,7 +264,9 @@ class DiffusionTrainer:
                 return self.model.apply(variables, latents, method="decode")
             return latents
 
-        return jax.jit(run)
+        fn = jax.jit(run)
+        self._generate_cache[key] = fn
+        return fn
 
     def generate(self, state: TrainState, rng, latent_shape,
                  context_value: Optional[int] = None, last_step: int = 0,

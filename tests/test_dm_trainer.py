@@ -131,3 +131,24 @@ def test_classifier_free_guidance():
     np.testing.assert_allclose(np.asarray(scale1), np.asarray(plain),
                                rtol=2e-4, atol=2e-4)
     assert not np.allclose(np.asarray(guided), np.asarray(plain))
+
+
+def test_guidance_without_cfg_dropout_raises():
+    # ADVICE r1: --guidance_scale on a model trained with cfg_dropout == 0
+    # silently produced unguided samples; it must raise instead.
+    cfg = tiny_diffusion_cfg(conditional=True)
+    tr = DiffusionTrainer(cfg, train_cfg(), conditional=True)
+    import pytest
+    with pytest.raises(ValueError, match="cfg_dropout"):
+        tr.generate_fn((1, 4, 4, 4, 8), guidance_scale=2.0)
+
+
+def test_generate_fn_program_cache_reused():
+    # per-epoch image logging must not recompile the sampler every call
+    cfg = tiny_diffusion_cfg(conditional=True)
+    tr = DiffusionTrainer(cfg, train_cfg(), conditional=True)
+    f1 = tr.generate_fn((1, 4, 4, 4, 8), sampler="ddim", sample_steps=2)
+    f2 = tr.generate_fn((1, 4, 4, 4, 8), sampler="ddim", sample_steps=2)
+    assert f1 is f2
+    f3 = tr.generate_fn((2, 4, 4, 4, 8), sampler="ddim", sample_steps=2)
+    assert f3 is not f1

@@ -3,6 +3,7 @@
 import io
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import jax
@@ -77,3 +78,52 @@ def test_http_roundtrip(svc):
             assert e.code == 400
     finally:
         server.shutdown()
+
+
+def test_request_validation(svc):
+    # bounds: num, sample_steps, context, sampler are validated before a
+    # program is compiled/cached (ADVICE r1: unbounded values exhaust
+    # compile time / HBM; out-of-range context was silently clamped)
+    n_before = len(svc.compiled_signatures())
+    with pytest.raises(ValueError):
+        svc.generate(num=0)
+    with pytest.raises(ValueError):
+        svc.generate(num=GenerationService.MAX_BATCH + 1)
+    with pytest.raises(ValueError):
+        svc.generate(num=1, sampler="nonsense")
+    with pytest.raises(ValueError):
+        svc.generate(num=1, sampler="ddim", sample_steps=10 ** 6)
+    with pytest.raises(ValueError):
+        svc.generate(num=1, context=99, sampler="ddim", sample_steps=4)
+    # guidance on a model trained without cfg_dropout must raise loudly,
+    # not silently return unguided samples
+    with pytest.raises(ValueError):
+        svc.generate(num=1, context=1, sampler="ddim", sample_steps=4,
+                     guidance_scale=3.0)
+    assert len(svc.compiled_signatures()) == n_before
+
+
+def test_http_bad_request_returns_400(svc):
+    server = serve(svc, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"num": 10 ** 6}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()
+
+
+def test_ddpm_request_does_not_fork_cache_on_sample_steps(svc):
+    # sample_steps is DDIM-only; a ddpm request must normalize it away so
+    # clients cycling the field don't compile new programs
+    svc.generate(num=1, context=0, sampler="ddpm")
+    n = len(svc.compiled_signatures())
+    svc.generate(num=1, context=0, sampler="ddpm", sample_steps=7)
+    assert len(svc.compiled_signatures()) == n
