@@ -546,6 +546,16 @@ def run_create_dataset(cfg, args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    try:
+        # persistent XLA compile cache: 128^3 programs take minutes to
+        # compile through this environment's device relay; reruns hit disk
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("LDM3D_JAX_CACHE",
+                                         "/tmp/ldm3d_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     if args.platform:
         if args.cpu_devices:
             flags = os.environ.get("XLA_FLAGS", "")

@@ -77,6 +77,60 @@ class LPIPS(nn.Module):
         return total
 
 
+def calibrate_lpips_params(params: Dict, frame_hw, seed: int = 0,
+                           num_samples: int = 8) -> Dict:
+    """Deterministic self-calibration of the random-feature LPIPS surrogate.
+
+    When no pretrained VGG16/linear-head weights are available (this
+    environment has no egress; the reference loads them from ./models/vgg +
+    ./models/lin, models/lpips_tensorflow.py:114-181), the VGG trunk stays
+    at its seeded random init — random-network LPIPS is a serviceable
+    perceptual basis (Zhang et al. 2018, Sec. 5: untrained nets score far
+    above plain L2) — but the raw per-layer contributions are then badly
+    unbalanced: deep 512-channel taps can dominate shallow ones by orders
+    of magnitude. This rescales each 1x1 linear head so every tap
+    contributes equally in expectation over MRI-like distorted frame
+    pairs, and the total distance is O(1) on a typical distortion.
+
+    Pure function: returns a new params tree; deterministic given `seed`.
+    """
+    h, w = frame_hw
+    rng = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(rng, 3)
+
+    # smooth MRI-like base frames: blurred noise, in [0, 1]
+    base = jax.random.uniform(k1, (num_samples, h // 4, w // 4, 1))
+    base = jax.image.resize(base, (num_samples, h, w, 1), "bilinear")
+    # distorted partners: brightness shift + additive noise
+    gain = 1.0 + 0.2 * jax.random.normal(k2, (num_samples, 1, 1, 1))
+    noise = 0.05 * jax.random.normal(k3, base.shape)
+    dist = jnp.clip(base * gain + noise, 0.0, 1.0)
+    img1 = jnp.tile(base, (1, 1, 1, 3))
+    img2 = jnp.tile(dist, (1, 1, 1, 3))
+
+    shift = jnp.asarray(_SHIFT, jnp.float32)
+    scale = jnp.asarray(_SCALE, jnp.float32)
+    vgg = VGG16Features(dtype=jnp.float32)
+    f1 = vgg.apply({"params": params["vgg"]}, (img1 - shift) / scale)
+    f2 = vgg.apply({"params": params["vgg"]}, (img2 - shift) / scale)
+
+    new_params = dict(params)
+    for i, (a, b) in enumerate(zip(f1, f2)):
+        a = a * jax.lax.rsqrt(
+            jnp.sum(jnp.square(a), axis=-1, keepdims=True) + 1e-10)
+        b = b * jax.lax.rsqrt(
+            jnp.sum(jnp.square(b), axis=-1, keepdims=True) + 1e-10)
+        # expected per-layer contribution with a unit (all-ones) head
+        layer_mean = float(jnp.mean(jnp.sum(jnp.square(a - b), axis=-1)))
+        target = 1.0 / len(f1)  # each tap contributes 1/5 of a unit total
+        gain_i = target / max(layer_mean, 1e-12)
+        lin = dict(new_params[f"lin{i}"])
+        ones = jnp.ones_like(lin["kernel"])
+        lin["kernel"] = ones * gain_i
+        new_params[f"lin{i}"] = lin
+    return new_params
+
+
 def load_lpips_params(path: Optional[str] = None) -> Optional[Dict]:
     """Load converted VGG16+linear-head weights from an .npz of flat
     'path/to/param' -> array entries (produced offline from the torch/TF

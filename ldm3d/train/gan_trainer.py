@@ -82,7 +82,26 @@ class GANTrainer:
         d3_vars = self.disc3d.init(rngs, vol, training=False)
         d2_vars = self.disc2d.init(rngs, frame, training=False)
         lp_vars = self.lpips.init({"params": rngs["params"]}, frame3, frame3)
-        lp_params = load_lpips_params() or lp_vars["params"]
+        lp_params = load_lpips_params()
+        self.lpips_pretrained = lp_params is not None
+        if lp_params is None:
+            # No pretrained VGG16/lin weights reachable (the reference
+            # loads ImageNet VGG16 + trained linear heads,
+            # models/lpips_tensorflow.py:114-181). Fall back to the
+            # deterministic self-calibrated random-feature surrogate and
+            # say so LOUDLY — perceptual-loss numbers from this run are
+            # not comparable to trained-LPIPS numbers.
+            import warnings
+            from ldm3d.models.lpips import calibrate_lpips_params
+            warnings.warn(
+                "LPIPS: no pretrained weights found (set "
+                "LDM3D_LPIPS_WEIGHTS to a converted .npz, see "
+                "tools/export_lpips_weights.py). Using the deterministic "
+                "random-feature surrogate with self-calibrated linear "
+                "heads; perceptual-loss values are NOT comparable to "
+                "trained-LPIPS runs.", stacklevel=2)
+            lp_params = calibrate_lpips_params(
+                lp_vars["params"], sample_shape[2:4])
 
         params = {"ae": ae_vars["params"], "disc3d": d3_vars["params"],
                   "disc2d": d2_vars["params"], "lpips": lp_params}
