@@ -2,9 +2,9 @@
 
 Parity with reference `Betas` (networks/dm3d.py:194-214 ==
 conditional_dm3d.py:215-235): linear beta in [1e-4, 0.02] over T steps and
-the derived alpha / cumulative-product tables. Stored as one stacked [T, 8]
-array so a whole sampling step gathers its coefficients with a single
-dynamic-slice inside `lax.scan` (no per-table gathers)."""
+the derived alpha / cumulative-product tables, precomputed in float64 and
+held as eight [T] tables in a NamedTuple; `gather(t)` takes all eight at a
+timestep (XLA fuses the per-table gathers inside the sampling scan)."""
 
 from __future__ import annotations
 

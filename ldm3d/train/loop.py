@@ -71,9 +71,17 @@ def fit(trainer, state, train_loader, epochs: int,
         val_metrics = {}
         if val_loader is not None:
             vh = []
-            for batch in val_loader:
+            # per-epoch, per-batch eval key: GAN eval scores a random 2D
+            # frame per volume, and a fixed key would score the same
+            # coronal slices every epoch, narrowing val metrics
+            eval_key = jax.random.fold_in(rng, 1000 + epoch)
+            for i, batch in enumerate(val_loader):
                 if eval_fn is not None:
                     vh.append(eval_fn(state, batch))
+                elif is_gan:
+                    vh.append(trainer.eval_step(
+                        state, batch[0], batch[1],
+                        rng=jax.random.fold_in(eval_key, i)))
                 else:
                     vh.append(trainer.eval_step(state, batch[0], batch[1]))
             if vh:
