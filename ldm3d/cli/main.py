@@ -487,49 +487,84 @@ def run_test_dm(cfg, args):
                 print("saved", nii)
 
 
+def _sweep_trial(cfg, args, point, metric):
+    """Train one sweep point; returns (record, metric value or None)."""
+    from ldm3d.core.sweep import apply_sweep_point
+
+    run_cfg = apply_sweep_point(cfg, point)
+    print(f"--- sweep point: {run_cfg.name}")
+    try:
+        run_train_vq(run_cfg, args)
+        # final metrics were printed by fit(); re-read from csv tail
+        log = os.path.join(_ckpt_dir(run_cfg, "vq"), "training.log")
+        last = {}
+        if os.path.exists(log):
+            import csv as _csv
+            with open(log) as lf:
+                rows = list(_csv.DictReader(lf))
+            if rows:
+                last = {k: float(v) for k, v in rows[-1].items()}
+        rec = {"name": run_cfg.name, "point": {
+            k: (list(v) if isinstance(v, tuple) else v)
+            for k, v in point.items()}, "metrics": last}
+        return rec, last.get(metric)
+    except Exception as e:  # keep sweeping past failed points
+        return {"name": run_cfg.name, "error": str(e)}, None
+
+
 def run_sweep(cfg, args):
-    """Sequential sweep agent: expand the yaml, train each point, record
-    the result table (reference: wandb agent over sweep.yaml)."""
+    """Sequential sweep agent: train each proposed point and record the
+    result table (reference: wandb agent over sweep.yaml). `method: grid`
+    and `random` expand up front; `method: bayes` runs the sequential TPE
+    optimizer (ldm3d/core/sweep.py::BayesSearch), observing each trial's
+    final metric before proposing the next point."""
     import json
-    from ldm3d.core.sweep import apply_sweep_point, expand_sweep, \
-        parse_sweep_yaml
+    from ldm3d.core.sweep import (BayesSearch, expand_sweep,
+                                  parse_sweep_yaml)
 
     with open(args.sweep) as f:
         spec = parse_sweep_yaml(f.read())
-    points = expand_sweep(spec, count=args.sweep_count,
-                          seed=cfg.train.seed)
     metric = spec.get("metric", {}).get("name", "val_loss")
-    print(f"sweep: {len(points)} points, optimizing {metric}")
+    goal = spec.get("metric", {}).get("goal", "minimize")
+    method = spec.get("method", "grid")
     results = []
     results_path = os.path.join(cfg.ckpt_dir, "sweep_results.jsonl")
     os.makedirs(cfg.ckpt_dir, exist_ok=True)
-    for i, point in enumerate(points):
-        run_cfg = apply_sweep_point(cfg, point)
-        print(f"--- sweep point {i + 1}/{len(points)}: {run_cfg.name}")
-        try:
-            state = run_train_vq(run_cfg, args)
-            from ldm3d.train.callbacks import MetricsLogger  # noqa: F401
-            # final metrics were printed by fit(); re-read from csv tail
-            log = os.path.join(_ckpt_dir(run_cfg, "vq"), "training.log")
-            last = {}
-            if os.path.exists(log):
-                import csv as _csv
-                with open(log) as lf:
-                    rows = list(_csv.DictReader(lf))
-                if rows:
-                    last = {k: float(v) for k, v in rows[-1].items()}
-            rec = {"name": run_cfg.name, "point": {
-                k: (list(v) if isinstance(v, tuple) else v)
-                for k, v in point.items()}, "metrics": last}
-        except Exception as e:  # keep sweeping past failed points
-            rec = {"name": run_cfg.name, "error": str(e)}
+
+    def record(rec):
         results.append(rec)
         with open(results_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+
+    if method == "bayes":
+        search = BayesSearch(spec, seed=cfg.train.seed, goal=goal)
+        count = args.sweep_count or min(len(search.candidates), 20)
+        print(f"sweep (bayes/TPE): up to {count} of "
+              f"{len(search.candidates)} grid cells, optimizing {metric}")
+        bad_value = float("inf") if not str(goal).startswith("max") \
+            else float("-inf")
+        for i in range(count):
+            point = search.suggest()
+            if point is None:
+                break
+            rec, value = _sweep_trial(cfg, args, point, metric)
+            # failed/metricless trials are observed as worst-case so TPE
+            # steers away from that region instead of re-proposing it
+            search.observe(point, value if value is not None else bad_value)
+            record(rec)
+    else:
+        points = expand_sweep(spec, count=args.sweep_count,
+                              seed=cfg.train.seed)
+        print(f"sweep ({method}): {len(points)} points, optimizing {metric}")
+        for point in points:
+            rec, _ = _sweep_trial(cfg, args, point, metric)
+            record(rec)
+
     scored = [r for r in results if r.get("metrics", {}).get(metric)
               is not None]
     if scored:
-        best = min(scored, key=lambda r: r["metrics"][metric])
+        pick = max if str(goal).startswith("max") else min
+        best = pick(scored, key=lambda r: r["metrics"][metric])
         print(f"best: {best['name']} {metric}={best['metrics'][metric]:.6f}")
 
 
