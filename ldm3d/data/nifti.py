@@ -58,23 +58,34 @@ def _quaternion_affine(hdr) -> np.ndarray:
 
 
 def load_nifti(path: str, return_voxsize: bool = False):
-    """Pure-numpy NIfTI-1 loader (dipy.io.image.load_nifti equivalent)."""
+    """Pure-numpy NIfTI-1 loader (dipy.io.image.load_nifti equivalent).
+
+    Handles both byte orders (sizeof_hdr detects swapped headers), F-order
+    voxel data (x fastest, per spec), scl_slope/scl_inter rescaling
+    (slope == 0 means "no scaling", per spec section on DATA SCALING —
+    inter is NOT applied then), and the sform > qform > pixdim affine
+    priority."""
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "rb") as f:
         raw = f.read()
     hdr_bytes = raw[:348]
+    end = "<"
     sizeof_hdr = struct.unpack_from("<i", hdr_bytes, 0)[0]
     if sizeof_hdr != 348:
-        raise ValueError(f"{path}: not a little-endian NIfTI-1 file")
-    dim = struct.unpack_from("<8h", hdr_bytes, 40)
-    datatype = struct.unpack_from("<h", hdr_bytes, 70)[0]
-    pixdim = struct.unpack_from("<8f", hdr_bytes, 76)
-    vox_offset = struct.unpack_from("<f", hdr_bytes, 108)[0]
-    scl_slope = struct.unpack_from("<f", hdr_bytes, 112)[0]
-    scl_inter = struct.unpack_from("<f", hdr_bytes, 116)[0]
-    quatern = struct.unpack_from("<6f", hdr_bytes, 256)
-    srow = np.array(struct.unpack_from("<12f", hdr_bytes, 280)).reshape(3, 4)
-    qform_code, sform_code = struct.unpack_from("<2h", hdr_bytes, 252)
+        if struct.unpack_from(">i", hdr_bytes, 0)[0] == 348:
+            end = ">"  # big-endian file (older scanners)
+        else:
+            raise ValueError(f"{path}: not a NIfTI-1 file")
+    dim = struct.unpack_from(end + "8h", hdr_bytes, 40)
+    datatype = struct.unpack_from(end + "h", hdr_bytes, 70)[0]
+    pixdim = struct.unpack_from(end + "8f", hdr_bytes, 76)
+    vox_offset = struct.unpack_from(end + "f", hdr_bytes, 108)[0]
+    scl_slope = struct.unpack_from(end + "f", hdr_bytes, 112)[0]
+    scl_inter = struct.unpack_from(end + "f", hdr_bytes, 116)[0]
+    quatern = struct.unpack_from(end + "6f", hdr_bytes, 256)
+    srow = np.array(struct.unpack_from(end + "12f", hdr_bytes, 280)
+                    ).reshape(3, 4)
+    qform_code, sform_code = struct.unpack_from(end + "2h", hdr_bytes, 252)
 
     ndim = dim[0]
     shape = tuple(dim[1:1 + max(ndim, 3)])
@@ -82,13 +93,14 @@ def load_nifti(path: str, return_voxsize: bool = False):
     dtype = _DTYPES.get(datatype)
     if dtype is None:
         raise ValueError(f"{path}: unsupported NIfTI datatype {datatype}")
+    dtype = np.dtype(dtype).newbyteorder(end)
     count = int(np.prod(shape))
     data = np.frombuffer(raw, dtype=dtype, count=count,
                          offset=int(vox_offset)).reshape(shape, order="F")
     data = np.asarray(data, np.float32)
-    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
-        slope = scl_slope if scl_slope != 0.0 else 1.0
-        data = data * slope + scl_inter
+    # spec: scl_slope == 0 means no scaling at all (inter included)
+    if scl_slope != 0.0 and (scl_slope != 1.0 or scl_inter != 0.0):
+        data = data * scl_slope + scl_inter
 
     if sform_code > 0:
         affine = np.eye(4)
