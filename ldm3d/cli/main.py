@@ -115,6 +115,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "for each point (reference sweep.yaml + wandb agent)")
     p.add_argument("--sweep_count", type=int, default=None,
                    help="number of sweep points (random/bayes methods)")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 for multi-host training "
+                        "(or set LDM3D_COORDINATOR); builds the mesh over "
+                        "the global device set")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force a JAX backend (this environment's "
                         "sitecustomize pins the TPU; --platform cpu "
@@ -601,6 +607,12 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms",
                           "cpu" if args.platform == "cpu" else "axon")
+    from ldm3d.parallel.distributed import initialize as _dist_init
+    if _dist_init(args.coordinator, args.num_processes, args.process_id):
+        import jax
+        print(f"multi-host: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.device_count()} global / "
+              f"{jax.local_device_count()} local devices")
     from ldm3d.core.presets import get_preset
     cfg = apply_overrides(get_preset(args.preset), args)
 

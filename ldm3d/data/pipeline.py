@@ -175,13 +175,33 @@ class DataLoader:
     def __len__(self) -> int:
         return len(self.indices) // self.batch_size
 
+    def _local_rows(self):
+        """In multi-process (multi-host) mode, the batch rows this process
+        owns under the mesh sharding; None => read the full batch. The
+        global shuffle order is seed-identical on every process, so each
+        host reads a disjoint slice of the same global batch — per-host
+        input sharding over DCN."""
+        if self.mesh is None:
+            return None
+        import jax
+        if jax.process_count() == 1:
+            return None
+        from ldm3d.parallel.distributed import local_batch_rows
+        vol_sh, _ = self._shardings()
+        s = self.cache.volume_size
+        return local_batch_rows(vol_sh, self.batch_size, (s, s, s, 1))
+
     def _host_batches(self, order: np.ndarray) -> Iterator:
-        bs = self.batch_size
+        bs_global = self.batch_size
+        local_rows = self._local_rows()
         reader = self.cache._reader
         s = self.cache.volume_size
         f16 = getattr(self.cfg, "transfer_dtype", "float16") == "float16"
-        for i in range(len(order) // bs):
-            idxs = [int(j) for j in order[i * bs:(i + 1) * bs]]
+        for i in range(len(order) // bs_global):
+            idxs = [int(j) for j in order[i * bs_global:(i + 1) * bs_global]]
+            if local_rows is not None:
+                idxs = [idxs[r] for r in local_rows]
+            bs = len(idxs)
             entries = [self.cache.entries[j] for j in idxs]
             ctxs = np.asarray([e["context"] for e in entries], np.int32)
             if f16:
@@ -251,7 +271,21 @@ class DataLoader:
             # mesh-sharded layout, so each device receives only its own
             # batch (and spatial) shard
             shardings = self._shardings()
-            if shardings is not None:
+            if shardings is not None and jax.process_count() > 1:
+                # multi-host: each process contributes only its local rows;
+                # the global array spans all hosts' shards
+                vol_sh, ctx_sh = shardings
+                s = self.cache.volume_size
+                gshape = (self.batch_size, s, s, s, 1)
+                vol = jax.make_array_from_process_local_data(
+                    vol_sh, np.ascontiguousarray(vol), gshape
+                ).astype(jnp.float32)
+                mask = jax.make_array_from_process_local_data(
+                    vol_sh, np.ascontiguousarray(mask), gshape
+                ).astype(jnp.float32)
+                ctx = jax.make_array_from_process_local_data(
+                    ctx_sh, np.ascontiguousarray(ctx), (self.batch_size,))
+            elif shardings is not None:
                 vol_sh, ctx_sh = shardings
                 vol = jax.device_put(vol, vol_sh).astype(jnp.float32)
                 mask = jax.device_put(mask, vol_sh).astype(jnp.float32)
