@@ -322,8 +322,14 @@ class GANTrainer:
 
     def reconstruct(self, state: GANTrainState, vol, mask):
         """(recon, aux) through the autoencoder — same interface as
-        VQTrainer.reconstruct (used by test_vq and the image callback)."""
-        x = jnp.concatenate([vol, mask], axis=-1)
-        return self.ae.apply(
-            {"params": state.params["ae"], "vq_stats": state.vq_stats,
-             "batch_stats": state.batch_stats["ae"]}, x, training=False)
+        VQTrainer.reconstruct (used by test_vq and the image callback);
+        jitted once so per-epoch image logging stays compiled."""
+        if not hasattr(self, "_reconstruct"):
+            def fwd(st, v, m):
+                x = jnp.concatenate([v, m], axis=-1)
+                return self.ae.apply(
+                    {"params": st.params["ae"], "vq_stats": st.vq_stats,
+                     "batch_stats": st.batch_stats["ae"]}, x,
+                    training=False)
+            self._reconstruct = jax.jit(fwd)
+        return self._reconstruct(state, vol, mask)

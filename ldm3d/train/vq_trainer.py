@@ -197,6 +197,8 @@ class VQTrainer:
     # -- inference --------------------------------------------------------
 
     def reconstruct(self, state: TrainState, vol, mask):
-        x = self._model_input(vol, mask)
-        recon, aux = self.model.apply(state.variables(), x, training=False)
-        return recon, aux
+        if not hasattr(self, "_reconstruct"):
+            self._reconstruct = jax.jit(
+                lambda st, v, m: self.model.apply(
+                    st.variables(), self._model_input(v, m), training=False))
+        return self._reconstruct(state, vol, mask)
