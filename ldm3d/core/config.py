@@ -182,6 +182,7 @@ class MeshConfig:
 
     data: int = -1                     # -1 => all devices
     space: int = 1
+    model: int = 1                     # tensor-parallel conv-channel sharding
 
 
 @dataclass(frozen=True)

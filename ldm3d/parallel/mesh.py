@@ -26,6 +26,7 @@ from ldm3d.core.config import MeshConfig
 
 DATA_AXIS = "data"
 SPACE_AXIS = "space"
+MODEL_AXIS = "model"
 
 
 def make_mesh(cfg: Optional[MeshConfig] = None,
@@ -42,22 +43,23 @@ def make_mesh(cfg: Optional[MeshConfig] = None,
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     space = 1 if cfg is None else max(cfg.space, 1)
+    model = 1 if cfg is None else max(getattr(cfg, "model", 1), 1)
     if cfg is None or cfg.data == -1:
-        data = n // space
+        data = n // (space * model)
         if batch_size is not None and data > 1 and batch_size % data != 0:
             import math
             data = math.gcd(batch_size, data)
     else:
         data = cfg.data
-    used = data * space
+    used = data * space * model
     if used > n or used < 1:
         raise ValueError(
-            f"mesh {data}x{space} does not fit on {n} devices")
+            f"mesh {data}x{space}x{model} does not fit on {n} devices")
     if (cfg is not None and cfg.data != -1) and used != n:
         raise ValueError(
-            f"mesh {data}x{space} does not cover {n} devices")
-    dev_array = np.asarray(devices[:used]).reshape(data, space)
-    return Mesh(dev_array, (DATA_AXIS, SPACE_AXIS))
+            f"mesh {data}x{space}x{model} does not cover {n} devices")
+    dev_array = np.asarray(devices[:used]).reshape(data, space, model)
+    return Mesh(dev_array, (DATA_AXIS, SPACE_AXIS, MODEL_AXIS))
 
 
 def batch_sharding(mesh: Mesh, spatial_axis: Optional[int] = None

@@ -67,8 +67,19 @@ class VQTrainer:
         else:
             self.model = VQVAE(cfg, dtype=dtype)
         self.tx = make_optimizer(train_cfg)
-        self._train_step = self._build_train_step()
+        self._train_step = None  # built on first call (needs state shardings)
         self._eval_step = self._build_eval_step()
+
+    def _state_shardings(self, state):
+        """Placement for the train state: replicated, except conv channels
+        over the 'model' axis when the mesh has one (tensor parallelism,
+        SURVEY.md §2.6 TP row)."""
+        from ldm3d.parallel.mesh import MODEL_AXIS
+        rep = replicated(self.mesh)
+        if self.mesh.shape.get(MODEL_AXIS, 1) == 1:
+            return rep
+        from ldm3d.parallel.tp import tp_state_shardings
+        return tp_state_shardings(state, self.mesh)
 
     # -- initialization ----------------------------------------------------
 
@@ -87,7 +98,7 @@ class VQTrainer:
             opt_state=self.tx.init(params),
             rng=s_rng)
         if self.mesh is not None:
-            state = jax.device_put(state, replicated(self.mesh))
+            state = jax.device_put(state, self._state_shardings(state))
         return state
 
     # -- steps -------------------------------------------------------------
@@ -128,7 +139,7 @@ class VQTrainer:
         }
         return loss, (metrics, updates, img_recon)
 
-    def _build_train_step(self):
+    def _build_train_step(self, state_template=None):
         def step(state: TrainState, vol, mask):
             rng, noise_rng, drop_rng = jax.random.split(state.rng, 3)
             rngs = {"noise": noise_rng, "dropout": drop_rng}
@@ -149,9 +160,13 @@ class VQTrainer:
             return jax.jit(step, donate_argnums=(0,))
         rep = replicated(self.mesh)
         # input shardings are inferred from the args (batch may be sharded
-        # over 'data' and optionally a spatial axis over 'space'); state and
-        # metrics are pinned replicated.
-        return jax.jit(step, donate_argnums=(0,), out_shardings=(rep, rep))
+        # over 'data' and optionally a spatial axis over 'space'); state is
+        # pinned to its placement (replicated, or TP-sharded conv channels
+        # when the mesh has a 'model' axis) and metrics replicated.
+        state_sh = rep if state_template is None \
+            else self._state_shardings(state_template)
+        return jax.jit(step, donate_argnums=(0,),
+                       out_shardings=(state_sh, rep))
 
     def _build_eval_step(self):
         def step(state: TrainState, vol, mask):
@@ -168,6 +183,8 @@ class VQTrainer:
         return jax.jit(step, out_shardings=rep)
 
     def train_step(self, state: TrainState, vol, mask):
+        if self._train_step is None:
+            self._train_step = self._build_train_step(state)
         return self._train_step(state, vol, mask)
 
     def eval_step(self, state: TrainState, vol, mask):

@@ -1,0 +1,81 @@
+"""Tensor-parallel (conv-channel) sharding over the 'model' mesh axis
+(SURVEY.md §2.6 TP row, the one inventory item round 1 skipped): params
+place their conv output channels across devices, the train step runs
+under GSPMD, and losses match the unsharded baseline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ldm3d.core.config import (MeshConfig, QuantizerConfig, TrainConfig,
+                               VQVAEConfig)
+from ldm3d.parallel.mesh import MODEL_AXIS, make_mesh, shard_batch
+from ldm3d.parallel.tp import tp_param_shardings
+from ldm3d.train.vq_trainer import VQTrainer
+
+
+def _cfg():
+    return VQVAEConfig(
+        in_channels=2, out_channels=2, num_channels=(32, 64),
+        num_res_channels=(32, 64), num_res_layers=1,
+        downsample_stride=(2, 2), downsample_kernel=(4, 4),
+        upsample_stride=(2, 2), upsample_kernel=(4, 4),
+        quantizer=QuantizerConfig(kind="ste", num_embeddings=16,
+                                  embedding_dim=8))
+
+
+def _data(batch=2):
+    k = jax.random.PRNGKey(3)
+    vol = jax.random.uniform(k, (batch, 16, 16, 16, 1), jnp.float32)
+    return vol, jnp.ones_like(vol)
+
+
+def test_tp_param_shardings_rules():
+    mesh = make_mesh(MeshConfig(data=2, space=1, model=4))
+    assert mesh.shape[MODEL_AXIS] == 4
+    params = {
+        "conv": {"kernel": jnp.zeros((3, 3, 3, 32, 64)),
+                 "bias": jnp.zeros((64,))},
+        "stem": {"kernel": jnp.zeros((3, 3, 3, 2, 8)),
+                 "bias": jnp.zeros((8,))},
+        "codebook": jnp.zeros((8, 16)),
+    }
+    sh = tp_param_shardings(params, mesh)
+    assert sh["conv"]["kernel"].spec == P(None, None, None, None, MODEL_AXIS)
+    assert sh["conv"]["bias"].spec == P(MODEL_AXIS)
+    assert sh["stem"]["kernel"].spec == P()       # too narrow to split
+    assert sh["codebook"].spec == P()             # quantizer stays replicated
+
+
+def test_tp_train_step_matches_unsharded():
+    vol, mask = _data()
+    tcfg = TrainConfig(batch_size=2, dtype="float32")
+
+    base = VQTrainer(_cfg(), tcfg)  # no mesh: single-device baseline
+    bstate = base.init_state(jax.random.PRNGKey(0), (2, 16, 16, 16, 2))
+    bloss = []
+    for _ in range(2):
+        bstate, m = base.train_step(bstate, vol, mask)
+        bloss.append(float(m["loss"]))
+
+    mesh = make_mesh(MeshConfig(data=2, space=1, model=4))
+    tp = VQTrainer(_cfg(), tcfg, mesh=mesh)
+    tstate = tp.init_state(jax.random.PRNGKey(0), (2, 16, 16, 16, 2))
+    # the wide conv kernels are actually placed across the model axis
+    flat = jax.tree_util.tree_leaves_with_path(
+        jax.tree_util.tree_map(lambda x: x.sharding, tstate.params))
+    tp_specs = [s.spec for _, s in flat if MODEL_AXIS in str(s.spec)]
+    assert tp_specs, "no parameter was tensor-parallel sharded"
+
+    svol, smask = shard_batch(mesh, (vol, mask))
+    tloss = []
+    for _ in range(2):
+        tstate, m = tp.train_step(tstate, svol, smask)
+        tloss.append(float(m["loss"]))
+    np.testing.assert_allclose(tloss, bloss, rtol=2e-5, atol=2e-6)
+    # state placement survives the step (no silent re-replication)
+    flat_after = jax.tree_util.tree_leaves_with_path(
+        jax.tree_util.tree_map(lambda x: x.sharding, tstate.params))
+    assert [s.spec for _, s in flat_after
+            if MODEL_AXIS in str(s.spec)] == tp_specs
