@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--augment", action="store_true")
     p.add_argument("--synthetic", action="store_true",
                    help="use generated volumes (no NIfTI data needed)")
+    p.add_argument("--device_data", action="store_true",
+                   help="with --synthetic: regenerate every batch on "
+                        "device from PRNG keys (bit-identical to the f16 "
+                        "cache, zero host->device volume transfers)")
     p.add_argument("--num_synthetic", type=int, default=24)
     p.add_argument("--volume_size", type=int, default=None)
     # training (reference main.py:479-502)
@@ -210,6 +214,20 @@ def _loaders(cfg, args, mesh=None):
     from ldm3d.data.pipeline import (DataLoader, VolumeCache,
                                      train_val_split, write_synthetic_cache)
 
+    spatial_axis = 3 if (mesh is not None and mesh.shape.get("space", 1) > 1) \
+        else None
+    if args.synthetic and args.device_data:
+        # zero-transfer path: the corpus is regenerated on device from
+        # PRNG keys, bit-identical to the f16 cache for the same seed
+        from ldm3d.data.pipeline import DeviceSyntheticLoader
+        n = args.num_synthetic
+        tr, va = train_val_split(n, cfg.train.val_fraction, cfg.train.seed)
+        mk = lambda idx, train: DeviceSyntheticLoader(
+            n, cfg.train.batch_size, cfg.data, corpus_seed=cfg.train.seed,
+            seed=cfg.train.seed, train=train, indices=idx, mesh=mesh,
+            spatial_axis=spatial_axis)
+        val = mk(va, False) if len(va) >= cfg.train.batch_size else None
+        return mk(tr, True), val
     cache_dir = cfg.data.cache_dir
     manifest = os.path.join(cache_dir, "manifest.json")
     if args.synthetic and not os.path.exists(manifest):
@@ -220,8 +238,6 @@ def _loaders(cfg, args, mesh=None):
             f"no cache at {cache_dir}: run --create_dataset first "
             f"(or pass --synthetic)")
     cache = VolumeCache(cache_dir)
-    spatial_axis = 3 if (mesh is not None and mesh.shape.get("space", 1) > 1) \
-        else None
     tr, va = train_val_split(cache, cfg.train.val_fraction, cfg.train.seed)
     train = DataLoader(cache, cfg.train.batch_size, cfg.data,
                        seed=cfg.train.seed, train=True, indices=tr,

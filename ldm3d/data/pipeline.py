@@ -301,9 +301,81 @@ class DataLoader:
             yield vol, mask, ctx
 
 
-def train_val_split(cache: VolumeCache, val_fraction: float, seed: int = 0):
-    """Deterministic split (reference main.py:160-183 val_perc split)."""
-    n = len(cache)
+class DeviceSyntheticLoader:
+    """Zero-transfer synthetic data source: every batch is regenerated on
+    device from PRNG keys (`synthetic.synthetic_volumes_at`), bit-identical
+    to the f16 cache files `write_synthetic_cache` writes for the same
+    seed — only the batch's int32 indices cross the host->device boundary.
+
+    Iteration semantics (per-epoch shuffle, split indices, device-side
+    augmentation, mesh sharding) mirror `DataLoader`, so the two are
+    drop-in interchangeable. Besides being the TPU-native shape for a
+    synthetic input pipeline (the data source is part of the compiled
+    program), this sidesteps transfer-path host-memory retention in
+    relayed-device environments (measured: every uploaded buffer's RSS is
+    retained; a 60-epoch 128^3 run leaks >100 GB through the file path).
+    """
+
+    def __init__(self, num_volumes: int, batch_size: int, cfg: DataConfig,
+                 corpus_seed: int = 0, seed: int = 0, train: bool = True,
+                 indices: Optional[Sequence[int]] = None, mesh=None,
+                 spatial_axis: Optional[int] = None, gen_batch: int = 8):
+        self.num_volumes = num_volumes
+        self.batch_size = batch_size
+        self.cfg = cfg
+        self.corpus_seed = corpus_seed
+        self.seed = seed
+        self.train = train
+        self.indices = list(indices if indices is not None
+                            else range(num_volumes))
+        self.mesh = mesh
+        self.spatial_axis = spatial_axis
+        self.gen_batch = gen_batch
+        self._epoch = 0
+        self._gen = None
+
+    def __len__(self) -> int:
+        return len(self.indices) // self.batch_size
+
+    def _build_gen(self):
+        import functools
+
+        from ldm3d.data.synthetic import synthetic_volumes_at
+        root = jax.random.PRNGKey(self.corpus_seed)
+        fn = functools.partial(synthetic_volumes_at, root,
+                               size=self.cfg.volume_size,
+                               gen_batch=self.gen_batch)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ldm3d.parallel.mesh import DATA_AXIS, batch_sharding
+            vol_sh = batch_sharding(self.mesh, self.spatial_axis)
+            ctx_sh = NamedSharding(self.mesh, P(DATA_AXIS))
+            return jax.jit(fn, out_shardings=(vol_sh, vol_sh, ctx_sh))
+        return jax.jit(fn)
+
+    def __iter__(self) -> Iterator:
+        if self._gen is None:
+            self._gen = self._build_gen()
+        rng = np.random.default_rng(self.seed + self._epoch)
+        self._epoch += 1
+        order = np.array(self.indices)
+        if self.train:
+            rng.shuffle(order)
+        aug_key = jax.random.PRNGKey(rng.integers(2 ** 31))
+        bs = self.batch_size
+        for i in range(len(order) // bs):
+            idxs = jnp.asarray(order[i * bs:(i + 1) * bs], jnp.int32)
+            vol, mask, ctx = self._gen(idxs)
+            if self.train and self.cfg.augment:
+                vol, mask = augment_batch(
+                    jax.random.fold_in(aug_key, i), vol, mask, self.cfg)
+            yield vol, mask, ctx
+
+
+def train_val_split(cache, val_fraction: float, seed: int = 0):
+    """Deterministic split (reference main.py:160-183 val_perc split).
+    `cache` may be a VolumeCache or a plain volume count."""
+    n = cache if isinstance(cache, int) else len(cache)
     order = np.random.default_rng(seed).permutation(n)
     n_val = max(int(n * val_fraction), 1) if val_fraction > 0 else 0
     return order[n_val:].tolist(), order[:n_val].tolist()

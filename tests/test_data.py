@@ -211,3 +211,40 @@ def test_get_dataset_list_layout(tmp_path):
     assert len(get_dataset_list("all", dataset_dir=d)) == 4
     assert len(get_dataset_list("all-T", dataset_dir=d)) == 5
     assert len(get_dataset_list("all-T", True, dataset_dir=d)) == 5  # <24
+
+
+def test_device_synthetic_loader_matches_cache(tmp_path):
+    """The on-device regenerator must produce bit-identical volumes to the
+    f16 cache files written by write_synthetic_cache for the same seed —
+    cached-file and zero-transfer runs train on the same data."""
+    import jax
+    import jax.numpy as jnp
+    from ldm3d.core.config import DataConfig
+    from ldm3d.data.pipeline import (DataLoader, DeviceSyntheticLoader,
+                                     VolumeCache, write_synthetic_cache)
+
+    write_synthetic_cache(str(tmp_path), 10, 16, seed=5)
+    cache = VolumeCache(str(tmp_path))
+    cfg = DataConfig(volume_size=16)
+    idx = [3, 8, 1, 9]  # crosses gen_batch group boundaries
+    file_loader = DataLoader(cache, 4, cfg, seed=2, train=False,
+                             indices=idx)
+    dev_loader = DeviceSyntheticLoader(10, 4, cfg, corpus_seed=5, seed=2,
+                                       train=False, indices=idx)
+    (fv, fm, fc), = list(file_loader)
+    (dv, dm, dc), = list(dev_loader)
+    np.testing.assert_array_equal(np.asarray(fv), np.asarray(dv))
+    np.testing.assert_array_equal(np.asarray(fm), np.asarray(dm))
+    np.testing.assert_array_equal(np.asarray(fc), np.asarray(dc))
+
+
+def test_device_synthetic_loader_epoch_shuffle_and_len(tmp_path):
+    from ldm3d.core.config import DataConfig
+    from ldm3d.data.pipeline import DeviceSyntheticLoader
+
+    loader = DeviceSyntheticLoader(12, 4, DataConfig(volume_size=16),
+                                   corpus_seed=0, seed=0, train=True)
+    assert len(loader) == 3
+    e1 = [np.asarray(b[2]) for b in loader]
+    e2 = [np.asarray(b[2]) for b in loader]
+    assert len(e1) == 3 and len(e2) == 3  # reshuffles but full epochs
