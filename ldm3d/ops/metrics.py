@@ -23,23 +23,30 @@ def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> np.ndarray:
 def _filter2d(img: jax.Array, kernel: jax.Array) -> jax.Array:
     """img: [N, H, W] -> valid-padded gaussian blur."""
     k = kernel[:, :, None, None]  # HWIO
+    # HIGHEST: TPU convs default to bf16 passes, which makes the windowed
+    # E[x^2] - mu^2 variance estimate go negative and SSIM exceed 1.
     out = jax.lax.conv_general_dilated(
         img[..., None], k.astype(img.dtype), (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
     return out[..., 0]
 
 
 def ssim2d(a: jax.Array, b: jax.Array, max_val: jax.Array,
            size: int = 11, sigma: float = 1.5) -> jax.Array:
     """Mean 2D SSIM over a batch of [N, H, W] images (tf.image.ssim math)."""
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
     kernel = jnp.asarray(_gaussian_kernel(size, sigma), a.dtype)
     c1 = (0.01 * max_val) ** 2
     c2 = (0.03 * max_val) ** 2
     mu_a = _filter2d(a, kernel)
     mu_b = _filter2d(b, kernel)
     mu_aa, mu_bb, mu_ab = mu_a * mu_a, mu_b * mu_b, mu_a * mu_b
-    sigma_aa = _filter2d(a * a, kernel) - mu_aa
-    sigma_bb = _filter2d(b * b, kernel) - mu_bb
+    # variances are >= 0 analytically; clamp away residual float error so
+    # the cs term stays bounded by 1
+    sigma_aa = jnp.maximum(_filter2d(a * a, kernel) - mu_aa, 0.0)
+    sigma_bb = jnp.maximum(_filter2d(b * b, kernel) - mu_bb, 0.0)
     sigma_ab = _filter2d(a * b, kernel) - mu_ab
     lum = (2.0 * mu_ab + c1) / (mu_aa + mu_bb + c1)
     cs = (2.0 * sigma_ab + c2) / (sigma_aa + sigma_bb + c2)
