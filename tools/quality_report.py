@@ -77,7 +77,13 @@ def report(log_path: str) -> str:
             lines.append(f"| this framework (best) | {metric} | {best:.2e} |")
     for metric in ("val_psnr", "val_ssim"):
         if metric in cols:
-            best = float(np.max(cols[metric]))
+            vals = np.asarray(cols[metric], float)
+            if metric == "val_ssim":
+                # logs written before the round-2 metrics fix can contain
+                # physically-invalid SSIM > 1 (bf16 conv variance bug,
+                # ldm3d/ops/metrics.py); exclude those epochs from "best"
+                vals = vals[vals <= 1.0]
+            best = float(np.max(vals))
             lines.append(f"| this framework (best) | {metric} | {best:.3f} |")
     return "\n".join(lines) + "\n"
 
