@@ -49,7 +49,14 @@ def initialize(coordinator_address: Optional[str] = None,
                      if process_id is not None
                      else os.environ.get("LDM3D_PROCESS_ID", "0"))
     if num_processes <= 1:
-        return False
+        # an explicit coordinator with a 1-process spec is a misconfigured
+        # launch (forgotten --num_processes / LDM3D_NUM_PROCESSES); falling
+        # back silently would run N independent copies of the workload that
+        # clobber each other's checkpoints
+        raise ValueError(
+            f"coordinator {coordinator_address} configured but "
+            f"num_processes={num_processes}; pass --num_processes/"
+            f"LDM3D_NUM_PROCESSES >= 2 (and a unique process_id per host)")
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)

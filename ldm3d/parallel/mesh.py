@@ -16,6 +16,7 @@ routes them over ICI. Axes:
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional, Sequence
 
 import jax
@@ -58,6 +59,22 @@ def make_mesh(cfg: Optional[MeshConfig] = None,
     if (cfg is not None and cfg.data != -1) and used != n:
         raise ValueError(
             f"mesh {data}x{space}x{model} does not cover {n} devices")
+    if used != n:
+        # the batch-clamped submesh leaves devices idle; that is merely
+        # wasteful on one host, but across processes a submesh can exclude
+        # entire hosts, whose addressable-device maps then come back empty
+        # (rows=[] in the per-host loader) — fail loudly instead
+        if jax.process_count() > 1:
+            raise ValueError(
+                f"global batch {batch_size} only supports a "
+                f"{data}x{space}x{model} mesh, which would exclude "
+                f"{n - used} of {n} devices (and possibly whole hosts) "
+                f"in multi-process mode; use a batch divisible by "
+                f"{n // (space * model)} or set mesh axes explicitly")
+        warnings.warn(
+            f"batch {batch_size} is not divisible by the {n} available "
+            f"devices: training on a {data}x{space}x{model} submesh, "
+            f"{n - used} devices idle", stacklevel=2)
     dev_array = np.asarray(devices[:used]).reshape(data, space, model)
     return Mesh(dev_array, (DATA_AXIS, SPACE_AXIS, MODEL_AXIS))
 

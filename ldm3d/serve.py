@@ -111,6 +111,15 @@ class GenerationService:
                     f"sample_steps must be in [1, {self.cfg.timesteps}]")
         if guidance_scale is not None:
             guidance_scale = float(guidance_scale)
+            if guidance_scale == 1.0:
+                guidance_scale = None  # no-op scale; don't fork the cache
+            elif getattr(self.cfg.unet, "cfg_dropout", 0.0) == 0.0:
+                # surface the capability gap as a request error instead of
+                # a compile-time failure deep in the trainer: guidance
+                # needs a null-context token learned via --cfg_dropout>0
+                raise ValueError(
+                    "guidance_scale requires a model trained with "
+                    "cfg_dropout > 0 (restore one via --cfg_dropout)")
         if self.trainer.conditional:
             context = 0 if context is None else int(context)
             max_ctx = self.cfg.unet.context_dim
@@ -205,12 +214,24 @@ def main(argv=None):
     ap.add_argument("--ckpt_dir", required=True,
                     help="checkpoint dir of the --train_dm run")
     ap.add_argument("--epoch", type=int, default=None)
+    ap.add_argument("--cfg_dropout", type=float, default=None,
+                    help="set to the --cfg_dropout the checkpoint was "
+                         "trained with (adds the null-context token row "
+                         "to the restore template, enabling "
+                         "guidance_scale requests)")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8777)
     args = ap.parse_args(argv)
 
+    from dataclasses import replace
+
     from ldm3d.core.presets import get_preset
-    svc = GenerationService.from_checkpoint(get_preset(args.preset),
+    preset = get_preset(args.preset)
+    if args.cfg_dropout is not None:
+        diff = preset.diffusion
+        preset = replace(preset, diffusion=replace(
+            diff, unet=replace(diff.unet, cfg_dropout=args.cfg_dropout)))
+    svc = GenerationService.from_checkpoint(preset,
                                             args.ckpt_dir, args.epoch)
     server = serve(svc, args.host, args.port)
     print(f"serving {svc.name} (epoch {svc.epoch}) "

@@ -116,8 +116,10 @@ def test_vq_train_step_data_space_mesh():
 
 def test_make_mesh_clamps_data_axis_to_batch():
     # a fixed-batch preset (bs=2) on an 8-device host must get a feasible
-    # DP degree, not an unshardable P('data') placement
-    mesh = make_mesh(MeshConfig(data=-1, space=1), batch_size=2)
+    # DP degree, not an unshardable P('data') placement — loudly, since
+    # the submesh idles devices
+    with pytest.warns(UserWarning, match="submesh"):
+        mesh = make_mesh(MeshConfig(data=-1, space=1), batch_size=2)
     assert mesh.shape[DATA_AXIS] == 2
     mesh = make_mesh(MeshConfig(data=-1, space=1), batch_size=16)
     assert mesh.shape[DATA_AXIS] == 8
@@ -141,3 +143,17 @@ def test_dataloader_yields_mesh_sharded_batches(tmp_path):
     assert ctx.sharding.spec == P(DATA_AXIS)
     assert len(vol.sharding.device_set) == 8
     assert vol.dtype == jnp.float32
+
+
+def test_make_mesh_submesh_raises_multiprocess(monkeypatch):
+    # a batch-clamped submesh can exclude whole hosts in multi-process
+    # mode (their addressable-device maps come back empty) — refuse
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="exclude"):
+        make_mesh(MeshConfig(data=-1, space=1), batch_size=2)
+
+
+def test_distributed_initialize_rejects_one_process_coordinator():
+    from ldm3d.parallel.distributed import initialize
+    with pytest.raises(ValueError, match="num_processes"):
+        initialize(coordinator_address="localhost:9999", num_processes=1)

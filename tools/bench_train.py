@@ -48,6 +48,15 @@ def step_mfu(fn, dt_seconds, *args):
     return flops / dt_seconds / V5E_PEAK_FLOPS
 
 
+def _abstract(tree):
+    """ShapeDtypeStructs of a (donated) state pytree, captured before
+    bench_step consumes it — lets step_mfu lower the step without paying
+    a second full init_state (device init + HBM) per benchmark."""
+    import jax
+
+    return jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tree)
+
 def bench_step(fn, state, args_fn, runs):
     state, m = fn(state, *args_fn(0))       # compile + warmup
     float(m["loss"])  # scalar fetch drains the pipeline (block_until_ready
@@ -71,10 +80,10 @@ def bench_vqvae(batch, runs):
                              (batch, 128, 128, 128, 1), jnp.float32)
     mask = jnp.ones_like(vol)
 
+    abs_state = _abstract(state)
     dt = bench_step(trainer.train_step, state, lambda i: (vol, mask), runs)
     s_per_vol = dt / batch
-    state2 = trainer.init_state(jax.random.PRNGKey(0), shape)
-    mfu = step_mfu(trainer.train_step, dt, state2, vol, mask)
+    mfu = step_mfu(trainer.train_step, dt, abs_state, vol, mask)
     print(json.dumps({
         "metric": "vqvae_b8_train_step_128^3",
         "value": round(dt, 4), "unit": "s/step",
@@ -99,11 +108,10 @@ def bench_dm(batch, runs):
                              (batch, 128, 128, 128, 1), jnp.float32)
     ctx = jnp.zeros((batch,), jnp.int32)
 
+    abs_state = _abstract(state)
     dt = bench_step(trainer.train_step, state, lambda i: (vol, ctx), runs)
     s_per_vol = dt / batch
-    state2 = trainer.init_state(jax.random.PRNGKey(0),
-                                (batch, 128, 128, 128, 1))
-    mfu = step_mfu(trainer.train_step, dt, state2, vol, ctx)
+    mfu = step_mfu(trainer.train_step, dt, abs_state, vol, ctx)
     print(json.dumps({
         "metric": "conditional_dm_train_step_128^3_T1000",
         "value": round(dt, 4), "unit": "s/step",
@@ -128,10 +136,10 @@ def bench_gan(batch, runs):
                              (batch, 128, 128, 128, 1), jnp.float32)
     mask = jnp.ones_like(vol)
 
+    abs_state = _abstract(state)
     dt = bench_step(trainer.train_step, state, lambda i: (vol, mask), runs)
     s_per_vol = dt / batch
-    state2 = trainer.init_state(jax.random.PRNGKey(0), shape)
-    mfu = step_mfu(trainer.train_step, dt, state2, vol, mask)
+    mfu = step_mfu(trainer.train_step, dt, abs_state, vol, mask)
     print(json.dumps({
         "metric": "vqgan_attn_train_step_128^3",
         "value": round(dt, 4), "unit": "s/step",

@@ -83,6 +83,8 @@ def report(log_path: str) -> str:
                 # physically-invalid SSIM > 1 (bf16 conv variance bug,
                 # ldm3d/ops/metrics.py); exclude those epochs from "best"
                 vals = vals[vals <= 1.0]
+            if vals.size == 0:
+                continue
             best = float(np.max(vals))
             lines.append(f"| this framework (best) | {metric} | {best:.3f} |")
     return "\n".join(lines) + "\n"
