@@ -92,7 +92,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="on a training crash, restore the latest "
                         "checkpoint and resume, up to N times (the "
                         "reference required manual Slurm resubmission)")
-    p.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim"],
+    p.add_argument("--sampler", default="ddpm",
+               choices=["ddpm", "ddim", "dpmpp"],
                    help="test_dm sampler: full T-step DDPM chain "
                         "(reference behavior) or strided fast DDIM")
     p.add_argument("--sample_steps", type=int, default=None,
@@ -493,8 +494,8 @@ def run_test_dm(cfg, args):
                                sample_steps=args.sample_steps, eta=args.eta,
                                guidance_scale=args.guidance_scale)
         tag = f"-ctx{ctx}" if ctx is not None else ""
-        if args.sampler == "ddim":
-            tag = f"-ddim{args.sample_steps or ''}{tag}"
+        if args.sampler in ("ddim", "dpmpp"):
+            tag = f"-{args.sampler}{args.sample_steps or ''}{tag}"
         path = os.path.join(
             args.out_dir,
             f"{cfg.name}-{cfg.diffusion.timesteps}rsteps{tag}.npy")

@@ -129,3 +129,68 @@ def sample_latents_ddim(sched: Schedule, denoise_fn: Callable, shape, rng,
 
     (x, _), _ = jax.lax.scan(step, (x0, loop_rng), (taus, taus_prev))
     return x
+
+
+def sample_latents_dpmpp(sched: Schedule, denoise_fn: Callable, shape, rng,
+                         num_steps: int = 20, clip_x0: bool = True,
+                         dtype=jnp.float32) -> jax.Array:
+    """DPM-Solver++(2M) (Lu et al. 2022): deterministic second-order
+    multistep ODE solver in data-prediction form — better sample quality
+    per U-Net evaluation than DDIM at 10-25 steps, beyond-reference (the
+    reference has only the eager T-step DDPM chain, dm3d.py:510-532).
+    Like the other samplers here it compiles to ONE `lax.scan`; the
+    second-order history (previous x0 prediction + previous log-SNR step)
+    rides in the scan carry, so the per-step cost is the U-Net call plus
+    O(1) elementwise work.
+
+    The final step uses the first-order (DDIM) update — the standard
+    `lower_order_final` stabilization for small step counts.
+    """
+    T = sched.timesteps
+    num_steps = min(num_steps, T)
+    taus = jnp.linspace(0, T - 1, num_steps).round().astype(jnp.int32)[::-1]
+
+    a_bar = sched.alpha_bar.astype(jnp.float64) \
+        if sched.alpha_bar.dtype == jnp.float64 else \
+        sched.alpha_bar.astype(jnp.float32)
+    alpha = jnp.sqrt(a_bar)[taus]              # [N] sqrt(abar_t)
+    sigma = jnp.sqrt(1.0 - a_bar)[taus]
+    lam = jnp.log(alpha) - jnp.log(sigma)      # log-SNR, increasing along scan
+    # per-step "next" tables; the last entry is a placeholder (the final
+    # update is overridden to first-order x0 below)
+    lam_next = jnp.concatenate([lam[1:], lam[-1:] + 1.0])
+    alpha_next = jnp.concatenate([alpha[1:], jnp.ones((1,), alpha.dtype)])
+    sigma_ratio = jnp.concatenate(
+        [sigma[1:] / sigma[:-1], jnp.zeros((1,), sigma.dtype)])
+
+    init_rng, _ = jax.random.split(rng)
+    x0 = jax.random.normal(init_rng, shape, dtype)
+    b = shape[0]
+    n = num_steps
+
+    def step(carry, inp):
+        x, d_prev, h_prev = carry
+        i, t, a_c, s_c, l_c, l_n, a_n, s_r = inp
+        eps = denoise_fn(x.astype(dtype),
+                         jnp.full((b,), t, jnp.int32)).astype(jnp.float32)
+        xf = x.astype(jnp.float32)
+        d = (xf - s_c * eps) / a_c             # x0 prediction
+        if clip_x0:
+            d = jnp.clip(d, -1.0, 1.0)
+        h = l_n - l_c
+        r = h_prev / h
+        # 2M extrapolation through the previous x0 prediction; first step
+        # has no history -> first order
+        d2 = jnp.where(i == 0, d,
+                       (1.0 + 1.0 / (2.0 * r)) * d - (1.0 / (2.0 * r)) * d_prev)
+        x_new = s_r * xf - a_n * (jnp.exp(-h) - 1.0) * d2
+        # final step: first-order update to the clean sample (h -> inf,
+        # sigma_next -> 0), i.e. return the current x0 prediction
+        x_new = jnp.where(i == n - 1, d, x_new)
+        return (x_new.astype(dtype), d, h), None
+
+    d0 = jnp.zeros(shape, jnp.float32)
+    inputs = (jnp.arange(n), taus, alpha, sigma, lam,
+              lam_next, alpha_next, sigma_ratio)
+    (x, _, _), _ = jax.lax.scan(step, (x0, d0, jnp.ones(())), inputs)
+    return x

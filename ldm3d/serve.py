@@ -100,10 +100,11 @@ class GenerationService:
         num = int(num)
         if not 1 <= num <= self.MAX_BATCH:
             raise ValueError(f"num must be in [1, {self.MAX_BATCH}]")
-        if sampler not in ("ddpm", "ddim"):
-            raise ValueError("sampler must be 'ddpm' or 'ddim'")
-        if sampler != "ddim":
-            sample_steps = None  # only DDIM strides; don't fork the cache
+        if sampler not in ("ddpm", "ddim", "dpmpp"):
+            raise ValueError("sampler must be 'ddpm', 'ddim' or 'dpmpp'")
+        if sampler == "ddpm":
+            sample_steps = None  # the full chain ignores strides; don't
+            # fork the program cache on them
         if sample_steps is not None:
             sample_steps = int(sample_steps)
             if not 1 <= sample_steps <= self.cfg.timesteps:

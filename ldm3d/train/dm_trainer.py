@@ -207,7 +207,10 @@ class DiffusionTrainer:
 
         sampler="ddpm" runs the reference's full T-step chain;
         sampler="ddim" runs the strided fast sampler (`sample_steps`
-        U-Net evaluations, default T//20, eta=0 deterministic).
+        U-Net evaluations, default T//20, eta=0 deterministic);
+        sampler="dpmpp" runs DPM-Solver++(2M), a second-order multistep
+        ODE solver (deterministic, best at 50+ steps where its
+        higher-order accuracy dominates — see tests/test_diffusion.py).
 
         Programs are cached per argument tuple, so repeated calls (image
         logging every N epochs, serving) reuse the compiled sampler.
@@ -257,6 +260,12 @@ class DiffusionTrainer:
                 latents = sample_latents_ddim(self.sched, denoise,
                                               latent_shape, rng,
                                               num_steps=steps, eta=eta)
+            elif sampler == "dpmpp":
+                from ldm3d.diffusion.ddpm import sample_latents_dpmpp
+                steps = sample_steps or max(self.cfg.timesteps // 20, 1)
+                latents = sample_latents_dpmpp(self.sched, denoise,
+                                               latent_shape, rng,
+                                               num_steps=steps)
             else:
                 latents = sample_latents(self.sched, denoise, latent_shape,
                                          rng, last_step=last_step)

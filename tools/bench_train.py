@@ -23,7 +23,8 @@ import time
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, ".")
+sys.path.insert(0, __import__("os").path.dirname(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 
 # reference seconds per volume = step_time * n_gpus-normalized? No: the bar
 # used everywhere in BASELINE.md is seconds/volume of the whole 4-GPU node:
@@ -151,6 +152,8 @@ def bench_gan(batch, runs):
 
 
 def main():
+    from bench import _enable_compile_cache
+    _enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--runs", type=int, default=5)
