@@ -190,6 +190,44 @@ class VQTrainer:
     def eval_step(self, state: TrainState, vol, mask):
         return self._eval_step(state, vol, mask)
 
+    def recalibrate_batch_stats(self, state: TrainState, loader,
+                                passes: int = 3) -> TrainState:
+        """Re-estimate BatchNorm running statistics with forward-only
+        passes over `loader` (params, codebook EMA state and optimizer
+        untouched).
+
+        BN eval mode uses running averages (momentum .99, Keras parity —
+        layers.py:105) that can lag the training distribution, which shows
+        up as val-loss spikes while train loss is smooth (observed on the
+        4-level 8^3-bottleneck config). ~`passes` epochs of forwards move
+        the averages onto the final-params activation distribution; the
+        time constant is 1/(1-momentum) = 100 batches."""
+        if state.batch_stats is None:
+            return state
+
+        def fwd(batch_stats, vol, mask):
+            x = self._model_input(vol, mask)
+            variables = {"params": state.params,
+                         "batch_stats": batch_stats}
+            mutable = ["batch_stats"]
+            if state.vq_stats is not None:
+                variables["vq_stats"] = state.vq_stats
+                mutable.append("vq_stats")  # written in training mode;
+                # its updates are dropped below (codebook state untouched)
+            _, updates = self.model.apply(
+                variables, x, training=True, mutable=mutable,
+                rngs={"noise": jax.random.PRNGKey(0),
+                      "dropout": jax.random.PRNGKey(0)})
+            return updates["batch_stats"]
+
+        fwd = jax.jit(fwd)  # no donation: the caller's state keeps its
+        # batch_stats buffer valid (the stats pytree is tiny)
+        batch_stats = state.batch_stats
+        for _ in range(passes):
+            for vol, mask, _ctx in loader:
+                batch_stats = fwd(batch_stats, vol, mask)
+        return state.replace(batch_stats=batch_stats)
+
     # -- codebook maintenance ---------------------------------------------
 
     def replace_unused(self, state: TrainState, num_batches: int,

@@ -134,3 +134,44 @@ def test_vq_trainer_single_channel_family():
     assert np.isfinite(metrics["loss"])
     recon, _ = tr.reconstruct(state, vol, mask)
     assert recon.shape == (2, 16, 16, 16, 1)
+
+
+def test_recalibrate_batch_stats_forward_only():
+    """BN recalibration: forward passes move running stats onto the data
+    distribution without touching params/codebook/optimizer; eval loss on
+    that distribution must not get worse."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ldm3d.core.config import QuantizerConfig, TrainConfig, VQVAEConfig
+    from ldm3d.train.vq_trainer import VQTrainer
+
+    cfg = VQVAEConfig(
+        in_channels=2, out_channels=2, num_res_layers=1, norm="batch",
+        num_channels=(4, 8), num_res_channels=(4, 8),
+        downsample_stride=(2, 2), downsample_kernel=(4, 4),
+        upsample_stride=(2, 2), upsample_kernel=(4, 4),
+        quantizer=QuantizerConfig(kind="ste", num_embeddings=16,
+                                  embedding_dim=8))
+    tr = VQTrainer(cfg, TrainConfig(batch_size=4, dtype="float32"))
+    state = tr.init_state(jax.random.PRNGKey(0), (4, 16, 16, 16, 2))
+
+    vol = jax.random.uniform(jax.random.PRNGKey(1), (4, 16, 16, 16, 1))
+    mask = jnp.ones_like(vol)
+    for _ in range(3):
+        state, _ = tr.train_step(state, vol, mask)
+
+    # eval on a shifted distribution the running stats have never seen
+    vol2 = vol * 3.0 + 1.0
+    before = float(tr.eval_step(state, vol2, mask)["loss"])
+    loader = [(vol2, mask, jnp.zeros((4,), jnp.int32))] * 5
+    state2 = tr.recalibrate_batch_stats(state, loader, passes=30)
+
+    assert jax.tree_util.tree_all(jax.tree.map(
+        lambda a, b: jnp.array_equal(a, b), state.params, state2.params))
+    assert not jax.tree_util.tree_all(jax.tree.map(
+        lambda a, b: jnp.array_equal(a, b),
+        state.batch_stats, state2.batch_stats))
+    after = float(tr.eval_step(state2, vol2, mask)["loss"])
+    assert np.isfinite(after) and after <= before * 1.01
