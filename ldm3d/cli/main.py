@@ -71,6 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_best_only", action="store_true")
     p.add_argument("--vqvae_load_ckpt", type=str, default=None)
     p.add_argument("--timesteps", type=int, default=None)
+    p.add_argument("--norm", default=None, choices=["batch", "group"],
+                   help="override the autoencoder normalization family "
+                        "(stage-1 and the DM's frozen stage-1 alike)")
     p.add_argument("--resume_ckpt", type=int, default=None)
     p.add_argument("--test_run", action="store_true")
     p.add_argument("--vqvae_mode", type=int, default=None, choices=[1, 2],
@@ -181,9 +184,18 @@ def apply_overrides(cfg, args):
         vq = replace(vq, kernel_resize=True)
     if args.vqvae_mode is not None:
         vq = replace(vq, family="legacy", legacy_mode=args.vqvae_mode)
+    if args.norm is not None:
+        # BatchNorm eval mode (running averages, Keras parity) is fragile
+        # on hard-bottleneck configs — outlier volumes reconstruct wildly
+        # under stale stats while train-mode stats are fine (see
+        # tools/recalibrate_bn.py). GroupNorm has no train/eval gap; the
+        # reference's own best VQGAN variant (vqgan_attn_cp) uses it.
+        vq = replace(vq, norm=args.norm)
     cfg = replace(cfg, vqvae=vq)
 
     diff = cfg.diffusion
+    if args.norm is not None:
+        diff = replace(diff, vqvae=replace(diff.vqvae, norm=args.norm))
     if args.timesteps is not None:
         diff = replace(diff, timesteps=args.timesteps)
     if getattr(args, "cfg_dropout", None) is not None:
