@@ -87,3 +87,19 @@ def test_cli_train_vq_shards_batches_over_mesh(tmp_path, monkeypatch):
     assert mask_sh.spec == P("data", None, None, None, None)
     # smoke preset bs=2 on the 8-device host -> DP degree 2 (submesh)
     assert len(vol_sh.device_set) == 2
+
+
+def test_cli_norm_override_propagates():
+    # --norm group must reach both the stage-1 config and the DM's frozen
+    # stage-1 (so --train_vq / --train_dm / --test_dm templates agree)
+    from ldm3d.cli.main import apply_overrides, build_parser
+    from ldm3d.core.presets import get_preset
+
+    args = build_parser().parse_args(["--preset", "vqvae_dm_stage1",
+                                      "--norm", "group"])
+    cfg = apply_overrides(get_preset("vqvae_dm_stage1"), args)
+    assert cfg.vqvae.norm == "group"
+    assert cfg.diffusion.vqvae.norm == "group"
+    args = build_parser().parse_args(["--preset", "conditional_dm3d"])
+    cfg = apply_overrides(get_preset("conditional_dm3d"), args)
+    assert cfg.diffusion.vqvae.norm == "batch"  # parity default untouched
