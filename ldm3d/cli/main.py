@@ -416,9 +416,14 @@ def run_train_dm(cfg, args):
         vq_ckpt = CheckpointManager(args.vqvae_load_ckpt)
         vq_state, ep = vq_ckpt.restore(jax.device_get(vq_state))
         print(f"loaded stage-1 VQ-VAE weights from epoch {ep}")
-        vqvae_vars = {"params": vq_state.params,
-                      "vq_stats": vq_state.vq_stats,
-                      "batch_stats": vq_state.batch_stats}
+        # drop absent collections (GroupNorm stage-1 has no batch_stats):
+        # a None subtree inside apply()'s variables crashes flax's scope
+        # iteration under lifted transforms (remat)
+        vqvae_vars = {k: v for k, v in
+                      (("params", vq_state.params),
+                       ("vq_stats", vq_state.vq_stats),
+                       ("batch_stats", vq_state.batch_stats))
+                      if v is not None}
 
     state = trainer.init_state(
         jax.random.PRNGKey(cfg.train.seed),

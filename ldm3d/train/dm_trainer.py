@@ -111,10 +111,15 @@ class DiffusionTrainer:
         if vqvae_variables is not None:
             params = dict(params)
             params["vqvae"] = vqvae_variables["params"]
-            if "vq_stats" in vqvae_variables and vq_stats is not None:
+            # skip absent collections (e.g. a GroupNorm stage-1 has no
+            # batch_stats): grafting a None subtree into apply()'s
+            # variables crashes flax scope iteration under remat
+            if vqvae_variables.get("vq_stats") is not None \
+                    and vq_stats is not None:
                 vq_stats = dict(vq_stats)
                 vq_stats["vqvae"] = vqvae_variables["vq_stats"]
-            if "batch_stats" in vqvae_variables and batch_stats is not None:
+            if vqvae_variables.get("batch_stats") is not None \
+                    and batch_stats is not None:
                 batch_stats = dict(batch_stats)
                 batch_stats["vqvae"] = vqvae_variables["batch_stats"]
         # Optimizer state only over the U-Net subtree: the VQ-VAE is frozen

@@ -103,3 +103,45 @@ def test_cli_norm_override_propagates():
     args = build_parser().parse_args(["--preset", "conditional_dm3d"])
     cfg = apply_overrides(get_preset("conditional_dm3d"), args)
     assert cfg.diffusion.vqvae.norm == "batch"  # parity default untouched
+
+
+def test_dm_accepts_groupnorm_stage1_variables():
+    """Regression: a GroupNorm stage-1 has no batch_stats collection;
+    loading its weights into the DM (whose U-Net has BatchNorm, so the
+    collection exists) must not graft a None subtree into the variables
+    (crashed flax scope iteration under remat)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ldm3d.core.config import (DiffusionConfig, QuantizerConfig,
+                                   TrainConfig, UNetConfig, VQVAEConfig)
+    from ldm3d.train.dm_trainer import DiffusionTrainer
+    from ldm3d.train.vq_trainer import VQTrainer
+
+    vq = VQVAEConfig(
+        remat=True, in_channels=1, out_channels=1, num_res_layers=1,
+        norm="group", num_channels=(4, 8), num_res_channels=(4, 8),
+        downsample_stride=(2, 2), downsample_kernel=(4, 4),
+        upsample_stride=(2, 2), upsample_kernel=(4, 4),
+        quantizer=QuantizerConfig(kind="ste", num_embeddings=16,
+                                  embedding_dim=8))
+    unet = UNetConfig(widths=(8, 16), has_attention=(False, True),
+                      num_res_blocks=1, first_conv_channels=8,
+                      context_dim=1, attention_impl="xla")
+    cfg = DiffusionConfig(timesteps=8, latent_size=4, latent_channels=8,
+                          unet=unet, vqvae=vq)
+    tcfg = TrainConfig(batch_size=2, dtype="float32")
+
+    vq_tr = VQTrainer(vq, tcfg)
+    vq_state = vq_tr.init_state(jax.random.PRNGKey(0), (2, 16, 16, 16, 1))
+    assert vq_state.batch_stats is None  # GroupNorm: no BN collection
+
+    tr = DiffusionTrainer(cfg, tcfg, conditional=True)
+    state = tr.init_state(
+        jax.random.PRNGKey(1), (2, 16, 16, 16, 1),
+        vqvae_variables={"params": vq_state.params,
+                         "vq_stats": vq_state.vq_stats,
+                         "batch_stats": vq_state.batch_stats})
+    vol = jax.random.uniform(jax.random.PRNGKey(2), (2, 16, 16, 16, 1))
+    state, m = tr.train_step(state, vol, jnp.zeros((2,), jnp.int32))
+    assert jnp.isfinite(m["loss"])
