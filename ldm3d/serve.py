@@ -45,7 +45,8 @@ class GenerationService:
         self.trainer = DiffusionTrainer(cfg, TrainConfig(batch_size=1),
                                         conditional=conditional)
         self.state = state
-        self._programs: Dict[Tuple, object] = {}
+        from collections import OrderedDict
+        self._programs: "OrderedDict[Tuple, tuple]" = OrderedDict()
         self._lock = threading.Lock()
         self._counter = 0
 
@@ -73,18 +74,32 @@ class GenerationService:
 
     def _program(self, batch: int, sampler: str, sample_steps, guidance):
         key = (batch, sampler, sample_steps, guidance)
-        prog = self._programs.get(key)
-        if prog is None:
+        entry = self._programs.get(key)
+        if entry is None:
             c = self.cfg
             lat = (batch, c.latent_size, c.latent_size, c.latent_size,
                    c.latent_channels)
+            # LRU-bound the device-program cache: each entry is a compiled
+            # XLA executable holding HBM; without a cap, request-shaped
+            # keys (num x sampler x steps x guidance) are a compile/HBM
+            # exhaustion vector. The trainer's own cache is evicted in
+            # lockstep so the executable is actually released.
+            while len(self._programs) >= self.MAX_PROGRAMS:
+                _, (_, old_tkey) = self._programs.popitem(last=False)
+                self.trainer._generate_cache.pop(old_tkey, None)
             prog = self.trainer.generate_fn(
                 lat, decode=True, sampler=sampler, sample_steps=sample_steps,
                 guidance_scale=guidance)
-            self._programs[key] = prog
+            tkey = (tuple(lat), 0, True, sampler, sample_steps, 0.0,
+                    guidance)
+            self._programs[key] = (prog, tkey)
+        else:
+            self._programs[key] = self._programs.pop(key)  # mark recent
+            prog = entry[0]
         return prog
 
     MAX_BATCH = 32
+    MAX_PROGRAMS = 8
 
     def generate(self, num: int = 1, context: Optional[int] = None,
                  sampler: str = "ddpm", sample_steps: Optional[int] = None,
@@ -111,7 +126,13 @@ class GenerationService:
                 raise ValueError(
                     f"sample_steps must be in [1, {self.cfg.timesteps}]")
         if guidance_scale is not None:
-            guidance_scale = float(guidance_scale)
+            # quantize to 1 decimal: guidance is an arbitrary float cache
+            # key, and each distinct value would compile + cache its own
+            # device program; 0.1 resolution is far below any perceptible
+            # guidance difference
+            guidance_scale = round(float(guidance_scale), 1)
+            if not 0.0 <= guidance_scale <= 20.0:
+                raise ValueError("guidance_scale must be in [0, 20]")
             if guidance_scale == 1.0:
                 guidance_scale = None  # no-op scale; don't fork the cache
             elif getattr(self.cfg.unet, "cfg_dropout", 0.0) == 0.0:

@@ -205,7 +205,7 @@ class VQTrainer:
         if state.batch_stats is None:
             return state
 
-        def fwd(batch_stats, vol, mask):
+        def fwd(batch_stats, vol, mask, rng):
             x = self._model_input(vol, mask)
             variables = {"params": state.params,
                          "batch_stats": batch_stats}
@@ -214,18 +214,25 @@ class VQTrainer:
                 variables["vq_stats"] = state.vq_stats
                 mutable.append("vq_stats")  # written in training mode;
                 # its updates are dropped below (codebook state untouched)
+            n_rng, d_rng = jax.random.split(rng)
             _, updates = self.model.apply(
                 variables, x, training=True, mutable=mutable,
-                rngs={"noise": jax.random.PRNGKey(0),
-                      "dropout": jax.random.PRNGKey(0)})
+                rngs={"noise": n_rng, "dropout": d_rng})
             return updates["batch_stats"]
 
         fwd = jax.jit(fwd)  # no donation: the caller's state keeps its
         # batch_stats buffer valid (the stats pytree is tiny)
         batch_stats = state.batch_stats
+        # fresh noise/dropout draws per (pass, batch): a fixed key would
+        # repeat the same dropout mask on every batch and bias the
+        # re-estimated statistics relative to the training distribution
+        base_rng = jax.random.fold_in(state.rng, 0x5eca11b)
+        i = 0
         for _ in range(passes):
             for vol, mask, _ctx in loader:
-                batch_stats = fwd(batch_stats, vol, mask)
+                batch_stats = fwd(batch_stats, vol, mask,
+                                  jax.random.fold_in(base_rng, i))
+                i += 1
         return state.replace(batch_stats=batch_stats)
 
     # -- codebook maintenance ---------------------------------------------

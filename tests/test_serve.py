@@ -127,3 +127,50 @@ def test_ddpm_request_does_not_fork_cache_on_sample_steps(svc):
     n = len(svc.compiled_signatures())
     svc.generate(num=1, context=0, sampler="ddpm", sample_steps=7)
     assert len(svc.compiled_signatures()) == n
+
+
+def test_program_cache_lru_bound(svc):
+    """The compiled-program cache must stay bounded (ADVICE r2): distinct
+    request signatures beyond MAX_PROGRAMS evict the oldest entry from
+    both the service cache and the trainer's generate cache."""
+    svc._programs.clear()
+    svc.trainer._generate_cache.clear()
+    for num in range(1, GenerationService.MAX_PROGRAMS + 4):
+        svc.generate(num=num, context=0, sampler="ddim", sample_steps=2)
+    assert len(svc._programs) == GenerationService.MAX_PROGRAMS
+    assert len(svc.trainer._generate_cache) == GenerationService.MAX_PROGRAMS
+
+
+def test_guidance_scale_quantized():
+    """guidance_scale is rounded to 1 decimal before it becomes a program
+    cache key, and out-of-range values are rejected (ADVICE r2)."""
+    import types
+
+    captured = {}
+
+    class FakeSvc(GenerationService):
+        def __init__(self):  # skip trainer construction
+            self.cfg = types.SimpleNamespace(
+                timesteps=8,
+                unet=types.SimpleNamespace(cfg_dropout=0.1, context_dim=1))
+            self.trainer = types.SimpleNamespace(conditional=True)
+            from collections import OrderedDict
+            self._programs = OrderedDict()
+            self._lock = threading.Lock()
+            self._counter = 0
+
+        def _program(self, batch, sampler, sample_steps, guidance):
+            captured["guidance"] = guidance
+            def fn(state, rng, ctx):
+                return np.zeros((batch, 2, 2, 2, 1), np.float32)
+            return fn
+
+    s = FakeSvc()
+    s.state = None
+    s.generate(num=1, context=0, sampler="ddim", sample_steps=2,
+               guidance_scale=3.14159)
+    assert captured["guidance"] == 3.1
+    with pytest.raises(ValueError):
+        s.generate(num=1, context=0, guidance_scale=21.0)
+    with pytest.raises(ValueError):
+        s.generate(num=1, context=0, guidance_scale=-0.5)
