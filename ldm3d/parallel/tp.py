@@ -51,11 +51,16 @@ def tp_state_shardings(state, mesh: Mesh, min_features: int = 64):
     """Shardings for a whole TrainState: params and the optimizer moments
     (which mirror the param pytree inside the optax state) follow
     `tp_param_shardings`; step counters, RNG, codebook stats, and norm
-    running stats stay replicated."""
+    running stats stay replicated. Works for all three trainer states
+    (VQ, diffusion, GAN — the GAN's second optimizer is sharded too)."""
     rep = NamedSharding(mesh, P())
     full = jax.tree_util.tree_map(lambda _: rep, state)
     if mesh.shape[MODEL_AXIS] == 1:
         return full
-    return full.replace(
+    updates = dict(
         params=tp_param_shardings(state.params, mesh, min_features),
         opt_state=tp_param_shardings(state.opt_state, mesh, min_features))
+    if getattr(state, "disc_opt_state", None) is not None:
+        updates["disc_opt_state"] = tp_param_shardings(
+            state.disc_opt_state, mesh, min_features)
+    return full.replace(**updates)
