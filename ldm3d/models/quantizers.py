@@ -412,6 +412,29 @@ def replace_unused_codebooks(codebook: jax.Array, usage_counts: jax.Array,
     return new_codebook, jnp.zeros_like(usage_counts), num_replaced
 
 
+def replace_unused_codebooks_staged(codebooks: jax.Array,
+                                    usage_counts: jax.Array,
+                                    num_batches: int, rng: jax.Array,
+                                    threshold: float = 0.01):
+    """Per-stage unused-code replacement for the residual quantizer.
+
+    The reference's RNSVQ replaces dead codes stage by stage, each stage
+    re-seeding from its own used rows (networks/rnsvqvae.py:142-190,
+    threshold 0.01) — a residual stage's codes live at that stage's
+    residual scale, so donors must come from the same stage.
+
+    codebooks: [S, K, D]; usage_counts: [S, K].
+    Returns (new_codebooks, zeroed usage, total_replaced).
+    """
+    s = codebooks.shape[0]
+    rngs = jax.random.split(rng, s)
+    new_cb, new_usage, n = jax.vmap(
+        lambda cb, us, k: replace_unused_codebooks(
+            cb, us, num_batches, k, threshold))(codebooks, usage_counts,
+                                                rngs)
+    return new_cb, new_usage, jnp.sum(n)
+
+
 def make_quantizer(cfg) -> nn.Module:
     """Factory over `QuantizerConfig.kind` (SURVEY.md §2.2 inventory)."""
     if cfg.kind == "ste":

@@ -240,7 +240,15 @@ class VQTrainer:
     def replace_unused(self, state: TrainState, num_batches: int,
                        rng: jax.Array) -> Tuple[TrainState, jax.Array]:
         """Epoch-end unused-code replacement (ReplaceCodebookCallback,
-        reference vqvae3d_monai.py:100-109) as a pure state transition."""
+        reference vqvae3d_monai.py:100-109) as a pure state transition.
+
+        ste/nsvq re-seed dead rows of the single codebook; rnsvq re-seeds
+        per residual stage from that stage's own used rows (reference
+        rnsvqvae.py:142-190). The EMA families (ema / ema_sonnet) return
+        unchanged: they restart dead codes *inside* the training step
+        (random-restart against `restart_thres`, quantizers.py
+        VectorQuantizerEMA), so the epoch-end hook is a deliberate no-op
+        for them."""
         kind = self.cfg.quantizer.kind
         thresh = self.cfg.quantizer.discarding_threshold
         if kind in ("ste", "nsvq"):
@@ -250,6 +258,19 @@ class VQTrainer:
                 params["codebook"], usage, num_batches, rng, thresh)
             new_params = dict(state.params)
             new_params["quantizer"] = {**params, "codebook": new_cb}
+            new_stats = dict(state.vq_stats)
+            new_stats["quantizer"] = {**state.vq_stats["quantizer"],
+                                      "codebooks_used": new_usage}
+            return state.replace(params=new_params, vq_stats=new_stats), n
+        if kind == "rnsvq":
+            from ldm3d.models.quantizers import \
+                replace_unused_codebooks_staged
+            params = state.params["quantizer"]
+            usage = state.vq_stats["quantizer"]["codebooks_used"]
+            new_cb, new_usage, n = replace_unused_codebooks_staged(
+                params["codebooks"], usage, num_batches, rng, thresh)
+            new_params = dict(state.params)
+            new_params["quantizer"] = {**params, "codebooks": new_cb}
             new_stats = dict(state.vq_stats)
             new_stats["quantizer"] = {**state.vq_stats["quantizer"],
                                       "codebooks_used": new_usage}

@@ -176,3 +176,70 @@ def test_factory_covers_all_kinds(kind):
                           rngs={"noise": jax.random.PRNGKey(2)})
     assert q.shape == x.shape
     assert np.isfinite(float(aux.loss))
+
+
+def test_replace_unused_codebooks_staged():
+    """rnsvq replacement is per stage: a dead code in stage 1 is re-seeded
+    from stage 1's used rows, not stage 0's (reference rnsvqvae.py:142-190,
+    threshold 0.01)."""
+    from ldm3d.models.quantizers import replace_unused_codebooks_staged
+
+    s, k, d = 3, 8, 4
+    rng = jax.random.PRNGKey(0)
+    # stage i's codebook values live around offset 10*i so donor provenance
+    # is detectable
+    codebooks = (jax.random.normal(rng, (s, k, d))
+                 + 10.0 * jnp.arange(s)[:, None, None])
+    usage = jnp.ones((s, k)) * 100.0
+    usage = usage.at[1, 3].set(0.0)   # dead code in stage 1
+    usage = usage.at[2, 5].set(0.0)   # dead code in stage 2
+
+    new_cb, new_usage, n = replace_unused_codebooks_staged(
+        codebooks, usage, num_batches=10, rng=rng, threshold=0.01)
+    assert int(n) == 2
+    assert new_usage.shape == (s, k) and float(new_usage.sum()) == 0.0
+    # untouched stages/rows identical
+    np.testing.assert_array_equal(np.asarray(new_cb[0]),
+                                  np.asarray(codebooks[0]))
+    # replaced rows moved, and their donor came from the same stage
+    # (values near offset 10*stage, not another stage's offset)
+    for stage, row in ((1, 3), (2, 5)):
+        assert not np.allclose(np.asarray(new_cb[stage, row]),
+                               np.asarray(codebooks[stage, row]))
+        assert abs(float(new_cb[stage, row].mean()) - 10.0 * stage) < 5.0
+
+
+def test_vq_trainer_rnsvq_replace_unused_reseeds_dead_stage_code():
+    """VERDICT r2 weak-5: a --preset rnsvqvae run with codebook replacement
+    must actually re-seed dead stage codes through the trainer hook."""
+    from ldm3d.core.config import QuantizerConfig, TrainConfig, VQVAEConfig
+    from ldm3d.train.vq_trainer import VQTrainer
+
+    cfg = VQVAEConfig(
+        in_channels=1, out_channels=1, num_channels=(8, 16),
+        num_res_channels=(8, 16), num_res_layers=1,
+        downsample_stride=(2, 2), downsample_kernel=(4, 4),
+        upsample_stride=(2, 2), upsample_kernel=(4, 4),
+        quantizer=QuantizerConfig(kind="rnsvq", num_embeddings=8,
+                                  embedding_dim=4, num_stages=2,
+                                  discarding_threshold=0.01))
+    tr = VQTrainer(cfg, TrainConfig(batch_size=2, dtype="float32"))
+    state = tr.init_state(jax.random.PRNGKey(0), (2, 8, 8, 8, 1))
+
+    # mark every code heavily used except one dead code in stage 1
+    usage = jnp.full((2, 8), 1000.0).at[1, 2].set(0.0)
+    state = state.replace(vq_stats={
+        **state.vq_stats,
+        "quantizer": {**state.vq_stats["quantizer"],
+                      "codebooks_used": usage}})
+    before = np.asarray(state.params["quantizer"]["codebooks"])
+
+    state, n = tr.replace_unused(state, num_batches=10,
+                                 rng=jax.random.PRNGKey(1))
+    after = np.asarray(state.params["quantizer"]["codebooks"])
+    assert int(n) == 1
+    assert not np.allclose(after[1, 2], before[1, 2])
+    mask = np.ones_like(before, bool)
+    mask[1, 2] = False
+    np.testing.assert_array_equal(after[mask], before[mask])
+    assert float(state.vq_stats["quantizer"]["codebooks_used"].sum()) == 0.0
