@@ -64,7 +64,10 @@ class GANTrainer:
         self.disc_tx = optax.inject_hyperparams(optax.adam)(
             learning_rate=train_cfg.disc_learning_rate,
             b1=train_cfg.adam_b1, b2=train_cfg.adam_b2)
-        self._train_step = None  # built on first call (needs state shardings)
+        # two compiled step programs (warm-up / adversarial) built lazily;
+        # dispatch is host-side on the epoch counter (see train_step)
+        self._train_steps = {}
+        self._host_epoch = None
         self._eval_step = self._build_eval_step()
 
     def _state_shardings(self, state):
@@ -138,7 +141,18 @@ class GANTrainer:
     # -- the fused generator+discriminator step ---------------------------
 
     def _forward_losses(self, params, state: GANTrainState, vol, mask, rng,
-                        training: bool):
+                        training: bool, warm: bool = False):
+        """Forward + all loss terms.
+
+        `warm=True` omits the adversarial paths entirely — the dedicated
+        warm-up program for epochs < disc_threshold. The reference gates
+        its GAN terms behind `tf.cond` (vqgan_attn_cp.py:718-720), so its
+        discriminators never run during warm-up either; compiling a
+        separate branch-free program per phase is the XLA equivalent and
+        removes ~2x step cost for the first disc_threshold epochs (the
+        full program's 0/1 `gate` multiplier cannot be dead-code
+        eliminated because the epoch is a traced value).
+        """
         cfg = self.cfg
         x = jnp.concatenate([vol, mask], axis=-1)
 
@@ -173,22 +187,72 @@ class GANTrainer:
         perceptual = jnp.mean(self.lpips.apply(
             {"params": _sg_tree(params["lpips"])}, f3, fr3))
 
+        zero = jnp.zeros((), jnp.float32)
+        if warm:
+            metrics = {
+                "loss": zero, "reconst_loss": recon_loss,
+                "quantize_loss": aux.loss, "gen_loss": zero,
+                "disc_loss": zero, "gan_feat_loss": zero,
+                "perceptual_loss": perceptual,
+                "perplexity": aux.perplexity,
+            }
+            ae_loss = (recon_loss + aux.loss.astype(jnp.float32)
+                       + cfg.lpips_wt * perceptual)
+            metrics["loss"] = ae_loss
+            updates = {
+                "vq_stats": ae_updates.get("vq_stats", state.vq_stats),
+                "batch_stats": {
+                    "ae": ae_updates.get("batch_stats",
+                                         state.batch_stats["ae"]),
+                    "disc3d": state.batch_stats["disc3d"],
+                    "disc2d": state.batch_stats["disc2d"]}}
+            return ae_loss, (metrics, updates, img_recon)
+
         # -- adversarial paths --
         gate = (state.epoch >= cfg.disc_threshold).astype(jnp.float32)
 
+        # Discriminator path on REAL inputs first (training updates BN
+        # stats); its intermediate features double as the feature-matching
+        # targets — they are stop-gradient walls there anyway, so the
+        # separate generator-path real forward the round-2 code ran was
+        # pure duplicated HBM traffic (GAN step is bandwidth-bound:
+        # PERF.md roofline).
+        d3_vars = {"params": params["disc3d"],
+                   "batch_stats": state.batch_stats["disc3d"]}
+        d2_vars = {"params": params["disc2d"],
+                   "batch_stats": state.batch_stats["disc2d"]}
+        if training:
+            (real_logits, real_feat), d3_updates = self.disc3d.apply(
+                d3_vars, vol, training=True, mutable=["batch_stats"])
+            (real_logits2, real_feat2), d2_updates = self.disc2d.apply(
+                d2_vars, frames, training=True, mutable=["batch_stats"])
+        else:
+            real_logits, real_feat = self.disc3d.apply(
+                d3_vars, vol, training=False)
+            real_logits2, real_feat2 = self.disc2d.apply(
+                d2_vars, frames, training=False)
+            d3_updates, d2_updates = {}, {}
+        fake_logits, _ = self.disc3d.apply(
+            {"params": params["disc3d"],
+             "batch_stats": d3_updates.get("batch_stats",
+                                           state.batch_stats["disc3d"])},
+            jax.lax.stop_gradient(img_recon), training=False)
+        fake_logits2, _ = self.disc2d.apply(
+            {"params": params["disc2d"],
+             "batch_stats": d2_updates.get("batch_stats",
+                                           state.batch_stats["disc2d"])},
+            jax.lax.stop_gradient(frames_recon), training=False)
+
+        # Generator path: discriminator params are stop-gradient walls,
+        # gradients flow to img_recon through the fake forwards only.
         d3_vars_g = {"params": _sg_tree(params["disc3d"]),
                      "batch_stats": state.batch_stats["disc3d"]}
         d2_vars_g = {"params": _sg_tree(params["disc2d"]),
                      "batch_stats": state.batch_stats["disc2d"]}
-        # Generator path: discriminator params are stop-gradient walls.
         fake_logits_g, fake_feat_g = self.disc3d.apply(
             d3_vars_g, img_recon, training=False)
         fake_logits2_g, fake_feat2_g = self.disc2d.apply(
             d2_vars_g, frames_recon, training=False)
-        real_logits_g, real_feat_g = self.disc3d.apply(
-            d3_vars_g, vol, training=False)
-        real_logits2_g, real_feat2_g = self.disc2d.apply(
-            d2_vars_g, frames, training=False)
 
         if cfg.g_adv_style == "bce":
             # baseline/gnorm generator loss: fool the critic via the
@@ -200,11 +264,11 @@ class GANTrainer:
             g_adv = -jnp.mean(fake_logits_g) - jnp.mean(fake_logits2_g)
         feat_w = 4.0 / (3 + 1)
         feat_loss = 0.0
-        for fa, fb in zip(fake_feat_g[:-1], real_feat_g[:-1]):
+        for fa, fb in zip(fake_feat_g[:-1], real_feat[:-1]):
             feat_loss += feat_w * jnp.mean(jnp.abs(
                 fa.astype(jnp.float32)
                 - jax.lax.stop_gradient(fb).astype(jnp.float32)))
-        for fa, fb in zip(fake_feat2_g[:-1], real_feat2_g[:-1]):
+        for fa, fb in zip(fake_feat2_g[:-1], real_feat2[:-1]):
             feat_loss += feat_w * jnp.mean(jnp.abs(
                 fa.astype(jnp.float32)
                 - jax.lax.stop_gradient(fb).astype(jnp.float32)))
@@ -214,35 +278,6 @@ class GANTrainer:
                    + cfg.lpips_wt * perceptual
                    + gate * (cfg.gan_feat_wt * feat_loss
                              + cfg.g_loss_adv_wt * g_adv))
-
-        # Discriminator path: generator output is a stop-gradient wall.
-        d3_vars = {"params": params["disc3d"],
-                   "batch_stats": state.batch_stats["disc3d"]}
-        d2_vars = {"params": params["disc2d"],
-                   "batch_stats": state.batch_stats["disc2d"]}
-        if training:
-            (real_logits, _), d3_updates = self.disc3d.apply(
-                d3_vars, vol, training=True, mutable=["batch_stats"])
-        else:
-            real_logits, _ = self.disc3d.apply(d3_vars, vol, training=False)
-            d3_updates = {}
-        fake_logits, _ = self.disc3d.apply(
-            {"params": params["disc3d"],
-             "batch_stats": d3_updates.get("batch_stats",
-                                           state.batch_stats["disc3d"])},
-            jax.lax.stop_gradient(img_recon), training=False)
-        if training:
-            (real_logits2, _), d2_updates = self.disc2d.apply(
-                d2_vars, frames, training=True, mutable=["batch_stats"])
-        else:
-            real_logits2, _ = self.disc2d.apply(d2_vars, frames,
-                                                training=False)
-            d2_updates = {}
-        fake_logits2, _ = self.disc2d.apply(
-            {"params": params["disc2d"],
-             "batch_stats": d2_updates.get("batch_stats",
-                                           state.batch_stats["disc2d"])},
-            jax.lax.stop_gradient(frames_recon), training=False)
 
         disc_loss = (self.d_loss(True, real_logits)
                      + self.d_loss(False, fake_logits)
@@ -271,17 +306,43 @@ class GANTrainer:
                    "batch_stats": new_batch_stats}
         return ae_loss + disc_loss, (metrics, updates, img_recon)
 
-    def _build_train_step(self, state_template=None):
+    def _build_train_step(self, state_template=None, warm: bool = False):
         def step(state: GANTrainState, vol, mask):
             rng, step_rng = jax.random.split(state.rng)
             grad_fn = jax.value_and_grad(
                 lambda p: self._forward_losses(p, state, vol, mask, step_rng,
-                                               True), has_aux=True)
+                                               True, warm=warm),
+                has_aux=True)
             (total, (metrics, updates, _)), grads = grad_fn(state.params)
 
             ae_updates, ae_opt = self.ae_tx.update(
                 grads["ae"], state.opt_state, state.params["ae"])
             ae_params = optax.apply_updates(state.params["ae"], ae_updates)
+
+            if warm:
+                # Discriminator params receive an explicit zero-grad Adam
+                # update: params and (zero) moments stay bit-identical to
+                # the gated full program — including the optimizer step
+                # count, which the reference's Keras optimizers also
+                # increment during warm-up — at negligible cost (the
+                # moment pytrees are MBs, not the 128^3 activations). See
+                # tests/test_vqgan.py::test_gan_warm_step_matches_gated.
+                d_params = {"disc3d": state.params["disc3d"],
+                            "disc2d": state.params["disc2d"]}
+                zero_grads = jax.tree_util.tree_map(jnp.zeros_like,
+                                                    d_params)
+                d_updates, d_opt = self.disc_tx.update(
+                    zero_grads, state.disc_opt_state, d_params)
+                d_params = optax.apply_updates(d_params, d_updates)
+                params = {**state.params, "ae": ae_params,
+                          "disc3d": d_params["disc3d"],
+                          "disc2d": d_params["disc2d"]}
+                new_state = state.replace(
+                    step=state.step + 1, params=params, opt_state=ae_opt,
+                    disc_opt_state=d_opt,
+                    vq_stats=updates["vq_stats"],
+                    batch_stats=updates["batch_stats"], rng=rng)
+                return new_state, metrics
 
             d_grads = {"disc3d": grads["disc3d"], "disc2d": grads["disc2d"]}
             d_params = {"disc3d": state.params["disc3d"],
@@ -323,10 +384,24 @@ class GANTrainer:
 
     # -- public API --------------------------------------------------------
 
-    def train_step(self, state: GANTrainState, vol, mask):
-        if self._train_step is None:
-            self._train_step = self._build_train_step(state)
-        return self._train_step(state, vol, mask)
+    def train_step(self, state: GANTrainState, vol, mask,
+                   warm: Optional[bool] = None):
+        """One fused generator(+discriminator) step.
+
+        Dispatches between the warm-up program (no adversarial paths, the
+        reference's tf.cond false branch) and the full program on the
+        host-side epoch mirror — mispredicting is safe (the full program
+        still applies the 0/1 gate), only slower. `warm` overrides the
+        automatic choice (tests)."""
+        if warm is None:
+            if self._host_epoch is None:
+                self._host_epoch = int(state.epoch)  # restore-safe re-read
+            warm = self._host_epoch < self.cfg.disc_threshold
+        warm = bool(warm)
+        if warm not in self._train_steps:
+            self._train_steps[warm] = self._build_train_step(state,
+                                                             warm=warm)
+        return self._train_steps[warm](state, vol, mask)
 
     def eval_step(self, state: GANTrainState, vol, mask, rng=None):
         return self._eval_step(state, vol, mask,
@@ -334,6 +409,7 @@ class GANTrainer:
 
     def next_epoch(self, state: GANTrainState) -> GANTrainState:
         """EpochCounterCallback equivalent (reference vqgan.py:16-21)."""
+        self._host_epoch = None  # re-sync from device next step
         return state.replace(epoch=state.epoch + 1)
 
     def reconstruct(self, state: GANTrainState, vol, mask):

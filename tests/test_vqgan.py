@@ -166,3 +166,48 @@ def test_gan_trainer_warns_without_pretrained_lpips():
         tr.init_state(jax.random.PRNGKey(0), (1, 16, 16, 16, 2))
     assert any("LPIPS" in str(r.message) for r in rec)
     assert tr.lpips_pretrained is False
+
+
+def test_gan_warm_step_matches_gated():
+    """The dedicated warm-up program (no adversarial paths compiled) must
+    produce bit-identical AE params / optimizer state / vq_stats / metrics
+    to the full program running with gate=0 — the only allowed difference
+    is the discriminators' BatchNorm running stats, which the full program
+    updates and the warm program (like the reference's tf.cond false
+    branch) does not."""
+    cfg = tiny_gan_cfg(disc_threshold=5)
+    vol, mask, _ = synthetic_batch(jax.random.PRNGKey(0), 2, 16)
+
+    tr_a = GANTrainer(cfg, train_cfg())
+    state_a = tr_a.init_state(jax.random.PRNGKey(1), (2, 16, 16, 16, 2))
+    new_a, m_a = tr_a.train_step(state_a, vol, mask, warm=True)
+
+    tr_b = GANTrainer(cfg, train_cfg())
+    state_b = tr_b.init_state(jax.random.PRNGKey(1), (2, 16, 16, 16, 2))
+    new_b, m_b = tr_b.train_step(state_b, vol, mask, warm=False)
+
+    for k in m_a:
+        np.testing.assert_allclose(float(m_a[k]), float(m_b[k]),
+                                   rtol=1e-6, atol=1e-7, err_msg=k)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
+        (new_a.params, new_a.opt_state, new_a.vq_stats,
+         new_a.batch_stats["ae"], new_a.disc_opt_state),
+        (new_b.params, new_b.opt_state, new_b.vq_stats,
+         new_b.batch_stats["ae"], new_b.disc_opt_state))
+
+
+def test_gan_train_step_auto_warm_dispatch():
+    """train_step picks the warm program below disc_threshold and the full
+    program at/after it, re-reading the epoch after next_epoch."""
+    cfg = tiny_gan_cfg(disc_threshold=1)
+    trainer = GANTrainer(cfg, train_cfg())
+    vol, mask, _ = synthetic_batch(jax.random.PRNGKey(0), 2, 16)
+    state = trainer.init_state(jax.random.PRNGKey(1), (2, 16, 16, 16, 2))
+    state, _ = trainer.train_step(state, vol, mask)
+    assert set(trainer._train_steps) == {True}
+    state = trainer.next_epoch(state)
+    state, m = trainer.train_step(state, vol, mask)
+    assert set(trainer._train_steps) == {True, False}
+    assert float(m["disc_loss"]) != 0.0
