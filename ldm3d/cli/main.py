@@ -106,6 +106,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--guidance_scale", type=float, default=None,
                    help="classifier-free guidance scale for test_dm "
                         "(requires a model trained with cfg_dropout > 0)")
+    p.add_argument("--prediction_type", default=None,
+                   choices=["eps", "v"],
+                   help="U-Net output parameterization for --train_dm: "
+                        "eps (reference) or v (Salimans & Ho 2022; pass "
+                        "the same value to --test_dm so sampling converts "
+                        "the model output correctly)")
+    p.add_argument("--min_snr_gamma", type=float, default=None,
+                   help="min-SNR-gamma loss weighting for --train_dm "
+                        "(Hang et al. 2023); unset = uniform reference "
+                        "weighting")
     p.add_argument("--cfg_dropout", type=float, default=None,
                    help="context-drop probability during --train_dm; > 0 "
                         "trains the null token classifier-free guidance "
@@ -201,6 +211,10 @@ def apply_overrides(cfg, args):
     if getattr(args, "cfg_dropout", None) is not None:
         diff = replace(diff, unet=replace(diff.unet,
                                           cfg_dropout=args.cfg_dropout))
+    if getattr(args, "prediction_type", None) is not None:
+        diff = replace(diff, prediction_type=args.prediction_type)
+    if getattr(args, "min_snr_gamma", None) is not None:
+        diff = replace(diff, min_snr_gamma=args.min_snr_gamma)
     cfg = replace(cfg, diffusion=diff)
 
     if args.disc_threshold is not None:

@@ -162,6 +162,17 @@ class DiffusionConfig:
     beta_end: float = 0.02
     latent_size: int = 8
     latent_channels: int = 256
+    # U-Net output parameterization (beyond-reference; the reference only
+    # has eps-prediction, dm3d.py:453):
+    #   "eps": predict the added noise (reference behavior)
+    #   "v":   predict v = sqrt(abar) eps - sqrt(1-abar) x0 (Salimans &
+    #          Ho 2022) — better-conditioned targets at high T where
+    #          late timesteps are noise-dominated
+    prediction_type: str = "eps"
+    # min-SNR-gamma loss weighting (Hang et al. 2023): clamp the per-
+    # timestep weight at SNR=gamma so easy high-SNR steps don't dominate;
+    # None disables (reference behavior)
+    min_snr_gamma: Optional[float] = None
     unet: UNetConfig = field(default_factory=UNetConfig)
     # frozen stage-1 autoencoder config (reference builds a 4-level VQVAE
     # inline at dm3d.py:386-409: K=1024, D=256, 1-channel)

@@ -65,6 +65,45 @@ def q_sample(sched: Schedule, latents: jax.Array, t: jax.Array,
             + g.sqrt_one_minus_alpha_bar.astype(latents.dtype) * noise)
 
 
+def v_target(sched: Schedule, latents: jax.Array, t: jax.Array,
+             noise: jax.Array) -> jax.Array:
+    """v-parameterization target v = sqrt(abar_t) eps - sqrt(1-abar_t) x0
+    (Salimans & Ho 2022, "Progressive Distillation"). Beyond-reference:
+    the reference's U-Net only predicts eps (dm3d.py:453)."""
+    g = sched.gather(t)
+    return (g.sqrt_alpha_bar.astype(noise.dtype) * noise
+            - g.sqrt_one_minus_alpha_bar.astype(noise.dtype) * latents)
+
+
+def model_out_to_eps(sched: Schedule, x_t: jax.Array, t: jax.Array,
+                     out: jax.Array, prediction_type: str) -> jax.Array:
+    """Convert a model output to eps-space so every sampler keeps its
+    eps-based update rule. For v-prediction the exact identity is
+    eps = sqrt(abar_t) v + sqrt(1-abar_t) x_t (algebraic inverse of
+    `v_target` given x_t = q_sample(x0, t, eps); verified in
+    tests/test_diffusion.py::test_v_prediction_roundtrip)."""
+    if prediction_type == "eps":
+        return out
+    if prediction_type != "v":
+        raise ValueError(f"unknown prediction_type {prediction_type!r}")
+    g = sched.gather(t)
+    return (g.sqrt_alpha_bar.astype(out.dtype) * out
+            + g.sqrt_one_minus_alpha_bar.astype(out.dtype) * x_t)
+
+
+def min_snr_weight(sched: Schedule, t: jax.Array, gamma: float,
+                   prediction_type: str) -> jax.Array:
+    """Per-timestep min-SNR-gamma loss weight (Hang et al. 2023):
+    min(SNR_t, gamma)/SNR_t for eps-prediction, min(SNR_t, gamma)/(SNR_t+1)
+    for v-prediction. Broadcastable over [B, H, W, D, C]."""
+    g = sched.gather(t)
+    snr = g.alpha_bar / (1.0 - g.alpha_bar)
+    clipped = jnp.minimum(snr, gamma)
+    if prediction_type == "v":
+        return clipped / (snr + 1.0)
+    return clipped / snr
+
+
 def posterior(sched: Schedule, x_t: jax.Array, pred_noise: jax.Array,
               t: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Posterior mean and variance for the reverse step

@@ -26,7 +26,8 @@ from jax.sharding import Mesh
 from ldm3d.core.config import DiffusionConfig, TrainConfig
 from ldm3d.diffusion.ddpm import (sample_latents,
                                   sample_latents_ddim)
-from ldm3d.diffusion.schedule import make_schedule, q_sample
+from ldm3d.diffusion.schedule import (make_schedule, min_snr_weight,
+                                      model_out_to_eps, q_sample, v_target)
 from ldm3d.models.unet3d import UNet3D
 from ldm3d.models.vqvae import VQVAE
 from ldm3d.parallel.mesh import replicated
@@ -182,7 +183,18 @@ class DiffusionTrainer:
                 variables, noisy.astype(latents.dtype), t,
                 context if self.conditional else None, training=True,
                 method="denoise", mutable=mutable)
-            err = jnp.square(noise - pred.astype(jnp.float32))
+            # target in the configured parameterization: eps (reference
+            # dm3d.py:453) or v (Salimans & Ho 2022)
+            if self.cfg.prediction_type == "v":
+                target = v_target(self.sched, latents.astype(jnp.float32),
+                                  t, noise)
+            else:
+                target = noise
+            err = jnp.square(target - pred.astype(jnp.float32))
+            if self.cfg.min_snr_gamma is not None:
+                err = err * min_snr_weight(self.sched, t,
+                                           self.cfg.min_snr_gamma,
+                                           self.cfg.prediction_type)
             lc = float(self.cfg.latent_channels)
             # reference SUM-MSE / (global_bs * lc^4) (dm3d.py:456-459)
             loss = jnp.sum(err) / (global_bs * lc ** 4)
@@ -258,24 +270,33 @@ class DiffusionTrainer:
         def run(state: TrainState, rng, context):
             variables = self._apply_variables(state)
             use_cfg = guidance_scale is not None
+            ptype = self.cfg.prediction_type
 
             def denoise(x, t):
+                # model output converted to eps-space so all samplers keep
+                # their eps-based update rules regardless of the training
+                # parameterization (schedule.model_out_to_eps)
                 if use_cfg:
                     # classifier-free guidance: one batched U-Net call over
                     # [conditional; null] then eps_u + s * (eps_c - eps_u)
                     null = jnp.full_like(context,
                                          self.cfg.unet.context_dim + 1)
-                    eps = self.model.apply(
+                    out = self.model.apply(
                         variables, jnp.concatenate([x, x]),
                         jnp.concatenate([t, t]),
                         jnp.concatenate([context, null]),
                         training=False, method="denoise")
-                    eps_c, eps_u = jnp.split(eps, 2)
+                    out = model_out_to_eps(self.sched,
+                                           jnp.concatenate([x, x]),
+                                           jnp.concatenate([t, t]),
+                                           out, ptype)
+                    eps_c, eps_u = jnp.split(out, 2)
                     return eps_u + guidance_scale * (eps_c - eps_u)
-                return self.model.apply(
+                out = self.model.apply(
                     variables, x, t,
                     context if self.conditional else None,
                     training=False, method="denoise")
+                return model_out_to_eps(self.sched, x, t, out, ptype)
 
             if sampler == "ddim":
                 steps = sample_steps or max(self.cfg.timesteps // 20, 1)
