@@ -124,6 +124,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_nifti", action="store_true",
                    help="with --test_dm/--test_vq: also export volumes as "
                         ".nii.gz (the reference only writes .npy)")
+    p.add_argument("--fidelity_freq", type=int, default=0,
+                   help="with --train_dm: every N epochs, generate "
+                        "latent samples and log latent-FID / kernel-MMD "
+                        "against held-out encoder features (the "
+                        "quantitative sample-fidelity metric the "
+                        "reference lacks); 0 disables")
+    p.add_argument("--fidelity_samples", type=int, default=64,
+                   help="generated samples per fidelity eval")
     p.add_argument("--image_log_freq", type=int, default=0,
                    help="save orig-vs-recon / generated-sample slice "
                         "panels every N epochs (reference "
@@ -480,6 +488,30 @@ def run_train_dm(cfg, args):
 
         image_logger = ImageLogger(os.path.join(logdir, "images"), render,
                                    log_freq=args.image_log_freq)
+
+    epoch_callback = None
+    if args.fidelity_freq:
+        # real-corpus features once, from the frozen stage-1 encoder (they
+        # never change during stage-2 training); held-out volumes when a
+        # val split exists, else the train set
+        feats = [trainer.latent_features(state, batch[0])
+                 for batch in (val_loader or train_loader)]
+        real_feats = np.concatenate(feats, axis=0)
+        print(f"fidelity: cached {real_feats.shape[0]} real-volume "
+              f"feature rows ({'val' if val_loader else 'train'} split)")
+
+        def epoch_callback(epoch, st):
+            if (epoch + 1) % args.fidelity_freq != 0:
+                return {}
+            scores = trainer.fidelity_eval(
+                st, real_feats, jax.random.fold_in(
+                    jax.random.PRNGKey(cfg.train.seed), 5000 + epoch),
+                num_samples=args.fidelity_samples,
+                batch=min(args.fidelity_samples, 16),
+                sampler="ddim", sample_steps=args.sample_steps)
+            return {"latent_fid": scores["latent_fid"],
+                    "latent_mmd": scores["latent_mmd"]}
+
     from ldm3d.train.loop import fit_with_recovery
     fit_fn = fit if not args.auto_resume else functools.partial(
         fit_with_recovery, max_restarts=args.auto_resume)
@@ -487,6 +519,7 @@ def run_train_dm(cfg, args):
         trainer, state, train_loader, cfg.train.epochs,
         ckpt=None if args.test_run else ckpt,
         image_logger=image_logger,
+        epoch_callback=epoch_callback,
         csv_logger=CSVLogger(os.path.join(logdir, "training.log"),
                              append=args.resume_ckpt is not None),
         metrics_logger=MetricsLogger(os.path.join(logdir, "metrics.jsonl"),

@@ -40,6 +40,7 @@ def fit(trainer, state, train_loader, epochs: int,
         is_gan: bool = False,
         rng=None,
         image_logger=None,
+        epoch_callback: Optional[Callable] = None,
         verbose: bool = True):
     """Train for `epochs`, returning the final state and the last metrics.
 
@@ -48,6 +49,9 @@ def fit(trainer, state, train_loader, epochs: int,
     - `replace_codebook_freq` mirrors ReplaceCodebookCallback(frequency=10)
       (reference vqvae3d_monai.py:100-109).
     - `is_gan` advances the epoch counter used for discriminator warm-up.
+    - `epoch_callback(epoch, state) -> dict` runs after the epoch's state
+      transitions; returned entries merge into the logged metrics (used
+      for the latent-fidelity measurement during --train_dm).
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     last_metrics: Dict[str, float] = {}
@@ -108,6 +112,11 @@ def fit(trainer, state, train_loader, epochs: int,
                     from ldm3d.train.callbacks import get_learning_rate
                     print(f"epoch {epoch + 1}: lr -> "
                           f"{get_learning_rate(new_opt):.2e}")
+
+        if epoch_callback is not None:
+            extra = epoch_callback(epoch, state)
+            if extra:
+                last_metrics.update({k: float(v) for k, v in extra.items()})
 
         # -- logging / checkpointing --
         if csv_logger is not None:

@@ -31,7 +31,10 @@ REFERENCE_ROWS = [
 MILESTONES = (1, 2, 5, 10, 20, 30, 40, 50, 60)
 
 COLS = ("loss", "reconst_loss", "quantize_loss", "val_loss",
-        "val_reconst_loss", "val_psnr", "val_ssim")
+        "val_reconst_loss", "val_psnr", "val_ssim",
+        # --train_dm --fidelity_freq columns (ldm3d/ops/fid.py): the
+        # sample-fidelity-vs-epoch curve the reference never measures
+        "latent_fid", "latent_mmd")
 
 
 def report(log_path: str) -> str:
