@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from ldm3d.core.config import UNetConfig
 from ldm3d.models.layers import Norm, conv3d, upsample3d, variance_scaling_init
 from ldm3d.ops.attention import voxel_attention
+from ldm3d.parallel.spatial import shard_spatial
 
 
 class TimeEmbedding(nn.Module):
@@ -232,7 +233,9 @@ class UNet3D(nn.Module):
         stem = cfg.first_conv_channels
 
         h = conv3d(stem, 3, dtype=self.dtype,
-                   kernel_init=variance_scaling_init(1.0), name="stem")(x)
+                   kernel_init=variance_scaling_init(1.0),
+                   name="stem")(shard_spatial(x))
+        h = shard_spatial(h)
         temb = TimeEmbedding(stem * 4)(t)
         temb = TimeMLP(stem * 4, dtype=self.dtype, name="time_mlp")(temb)
 
@@ -269,11 +272,13 @@ class UNet3D(nn.Module):
                                   name=f"down_res_{i}_{j}")(h, temb, training)
                 if cfg.has_attention[i]:
                     h = attend(h, i, f"down_{i}_{j}")
+                h = shard_spatial(h)
                 skips.append(h)
             if widths[i] != widths[-1]:
                 h = conv3d(widths[i], 3, stride=2, dtype=self.dtype,
                            kernel_init=variance_scaling_init(1.0),
                            name=f"down_sample_{i}")(h)
+                h = shard_spatial(h)
                 skips.append(h)
 
         # Middle (reference dm3d.py:347-354; conditional middle uses
@@ -292,11 +297,13 @@ class UNet3D(nn.Module):
                                   name=f"up_res_{i}_{j}")(h, temb, training)
                 if cfg.has_attention[i]:
                     h = attend(h, i, f"up_{i}_{j}")
+                h = shard_spatial(h)
             if i != 0:
                 h = upsample3d(h, 2)
                 h = conv3d(widths[i], 3, dtype=self.dtype,
                            kernel_init=variance_scaling_init(1.0),
                            name=f"up_sample_{i}")(h)
+                h = shard_spatial(h)
 
         # Head (reference dm3d.py:369-376).
         h = Norm(cfg.norm, dtype=self.dtype, name="head_norm")(h, training)

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from ldm3d.core.config import DiscriminatorConfig, VQVAEConfig
 from ldm3d.models.layers import Norm, conv3d, conv3d_transpose
 from ldm3d.models.quantizers import QuantAux, make_quantizer
+from ldm3d.parallel.spatial import shard_spatial
 
 
 class GNResidualUnit(nn.Module):
@@ -73,6 +74,7 @@ class VQGANEncoder(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = True) -> jax.Array:
         cfg = self.cfg
+        x = shard_spatial(x)
         for i, ch in enumerate(cfg.num_channels):
             if i == 0:
                 x = conv3d(ch, 3, stride=1, dtype=self.dtype,
@@ -83,6 +85,7 @@ class VQGANEncoder(nn.Module):
                 x = _gn_res_unit(cfg)(ch, cfg.num_res_channels[i],
                                       dtype=self.dtype, name=f"res_{i}")(
                                           x, training)
+            x = shard_spatial(x)
         x = Norm("group", dtype=self.dtype, name="head_norm")(x, training)
         x = jax.nn.silu(x)
         return conv3d(cfg.quantizer.embedding_dim, 1, dtype=self.dtype,
@@ -99,6 +102,7 @@ class VQGANDecoder(nn.Module):
     def __call__(self, x: jax.Array, training: bool = True) -> jax.Array:
         cfg = self.cfg
         rev = list(reversed(cfg.num_channels)) + [cfg.out_channels]
+        x = shard_spatial(x)
         x = conv3d(rev[0], 1, dtype=self.dtype, name="stem")(x)
         x = Norm("group", dtype=self.dtype, name="stem_norm")(x, training)
         x = jax.nn.silu(x)
@@ -114,6 +118,7 @@ class VQGANDecoder(nn.Module):
                                       name=f"res_{i}_1")(x, training)
                 x = _gn_res_unit(cfg)(rev[i], rev[i], dtype=self.dtype,
                                       name=f"res_{i}_2")(x, training)
+            x = shard_spatial(x)
         return x
 
 

@@ -26,6 +26,7 @@ from ldm3d.core.config import VQVAEConfig
 from ldm3d.models.layers import (
     Norm, PReLU, act_layer, conv3d, conv3d_transpose)
 from ldm3d.models.quantizers import QuantAux, make_quantizer
+from ldm3d.parallel.spatial import shard_spatial
 
 
 class VQVAEResidualUnit(nn.Module):
@@ -67,10 +68,12 @@ class Encoder(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = True) -> jax.Array:
         cfg = self.cfg
+        x = shard_spatial(x)
         for i, ch in enumerate(cfg.num_channels):
             x = conv3d(ch, cfg.downsample_kernel[i],
                        stride=cfg.downsample_stride[i], dtype=self.dtype,
                        name=f"down_{i}")(x)
+            x = shard_spatial(x)
             if i > 0 and cfg.dropout:
                 x = nn.Dropout(cfg.dropout, deterministic=not training)(x)
             x = jax.nn.relu(x)
@@ -78,6 +81,7 @@ class Encoder(nn.Module):
                 x = _res_unit(cfg)(
                     ch, cfg.num_res_channels[i], act=cfg.act, norm=cfg.norm,
                     dtype=self.dtype, name=f"res_{i}_{j}")(x, training)
+                x = shard_spatial(x)
         x = conv3d(cfg.quantizer.embedding_dim, 3, dtype=self.dtype,
                    name="to_latent")(x)
         if cfg.dropout:
@@ -98,6 +102,7 @@ class Decoder(nn.Module):
         rev_channels = list(reversed(cfg.num_channels))
         rev_res_channels = list(reversed(cfg.num_res_channels))
 
+        x = shard_spatial(x)
         x = conv3d(rev_channels[0], 3, dtype=self.dtype, name="stem")(x)
         if cfg.dropout:
             x = nn.Dropout(cfg.dropout, deterministic=not training)(x)
@@ -110,12 +115,14 @@ class Decoder(nn.Module):
                     rev_channels[i], rev_res_channels[i], act=cfg.act,
                     norm=cfg.norm, dtype=self.dtype,
                     name=f"res_{i}_{j}")(x, training)
+                x = shard_spatial(x)
             out_ch = cfg.out_channels if i == n - 1 else rev_channels[i + 1]
             x = conv3d_transpose(
                 out_ch, cfg.upsample_kernel[n - 1 - i],
                 stride=cfg.upsample_stride[n - 1 - i],
                 kernel_resize=cfg.kernel_resize, dtype=self.dtype,
                 name=f"up_{i}")(x)
+            x = shard_spatial(x)
             if i != n - 1:
                 if cfg.dropout:
                     x = nn.Dropout(cfg.dropout, deterministic=not training)(x)

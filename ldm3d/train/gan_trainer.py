@@ -362,10 +362,11 @@ class GANTrainer:
 
         if self.mesh is None:
             return jax.jit(step, donate_argnums=(0,))
+        from ldm3d.parallel.spatial import with_spatial
         rep = replicated(self.mesh)
         state_sh = rep if state_template is None \
             else self._state_shardings(state_template)
-        return jax.jit(step, donate_argnums=(0,),
+        return jax.jit(with_spatial(self.mesh, step), donate_argnums=(0,),
                        out_shardings=(state_sh, rep))
 
     def _build_eval_step(self):
@@ -379,8 +380,9 @@ class GANTrainer:
 
         if self.mesh is None:
             return jax.jit(step)
+        from ldm3d.parallel.spatial import with_spatial
         rep = replicated(self.mesh)
-        return jax.jit(step, out_shardings=rep)
+        return jax.jit(with_spatial(self.mesh, step), out_shardings=rep)
 
     # -- public API --------------------------------------------------------
 

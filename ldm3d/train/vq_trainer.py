@@ -162,10 +162,13 @@ class VQTrainer:
         # input shardings are inferred from the args (batch may be sharded
         # over 'data' and optionally a spatial axis over 'space'); state is
         # pinned to its placement (replicated, or TP-sharded conv channels
-        # when the mesh has a 'model' axis) and metrics replicated.
+        # when the mesh has a 'model' axis) and metrics replicated. The
+        # spatial context pins every conv activation's depth axis to
+        # 'space' (ldm3d/parallel/spatial.py).
+        from ldm3d.parallel.spatial import with_spatial
         state_sh = rep if state_template is None \
             else self._state_shardings(state_template)
-        return jax.jit(step, donate_argnums=(0,),
+        return jax.jit(with_spatial(self.mesh, step), donate_argnums=(0,),
                        out_shardings=(state_sh, rep))
 
     def _build_eval_step(self):
@@ -179,8 +182,9 @@ class VQTrainer:
 
         if self.mesh is None:
             return jax.jit(step)
+        from ldm3d.parallel.spatial import with_spatial
         rep = replicated(self.mesh)
-        return jax.jit(step, out_shardings=rep)
+        return jax.jit(with_spatial(self.mesh, step), out_shardings=rep)
 
     def train_step(self, state: TrainState, vol, mask):
         if self._train_step is None:
