@@ -138,7 +138,16 @@ def conv3d_transpose(features: int, kernel: Union[int, Tuple[int, int, int]] = 4
                      kernel_resize: bool = False) -> nn.ConvTranspose:
     """3D transpose conv, TF 'same' semantics: output = input * stride
     (matches Keras Conv3DTranspose, reference vqvae3d_monai.py:372-377).
-    `kernel_resize=True` applies the ICNR checkerboard-free init."""
+    `kernel_resize=True` applies the ICNR checkerboard-free init.
+
+    `transpose_kernel=True` is load-bearing for TF parity: Keras
+    Conv3DTranspose is the *gradient of the SAME-padded strided
+    cross-correlation*, while flax's default lax.conv_transpose is a
+    fractionally-strided convolution with an unflipped kernel — the two
+    differ in both kernel orientation and SAME-window placement.
+    tests/test_tf_parity.py locks this against precomputed TF golden
+    values (SURVEY.md §7 hard part 1). Kernel param layout under this
+    flag is (kd, kh, kw, OUT, IN)."""
     if isinstance(kernel, int):
         kernel = (kernel,) * 3
     if isinstance(stride, int):
@@ -148,7 +157,8 @@ def conv3d_transpose(features: int, kernel: Union[int, Tuple[int, int, int]] = 4
     init = icnr_init(base, scale=stride[0]) if kernel_resize else base
     return nn.ConvTranspose(
         features=features, kernel_size=kernel, strides=stride, padding="SAME",
-        use_bias=use_bias, dtype=dtype, kernel_init=init, name=name)
+        use_bias=use_bias, dtype=dtype, kernel_init=init, name=name,
+        transpose_kernel=True)
 
 
 def upsample3d(x: jax.Array, factor: int = 2) -> jax.Array:
