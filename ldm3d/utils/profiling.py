@@ -69,3 +69,19 @@ def flops_estimate(fn, *args) -> Optional[float]:
         return float(analysis.get("flops", -1.0))
     except Exception:
         return None
+
+
+def cost_estimate(fn, *args) -> Optional[Dict[str, float]]:
+    """XLA cost analysis of a jitted function: analyzed FLOPs and bytes
+    accessed (HBM traffic), the two roofline axes. Returns None when the
+    backend exposes no analysis."""
+    try:
+        lowered = jax.jit(fn).lower(*args)
+        analysis = lowered.compile().cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        return {"flops": float(analysis.get("flops", -1.0)),
+                "bytes_accessed": float(analysis.get("bytes accessed",
+                                                     -1.0))}
+    except Exception:
+        return None

@@ -51,10 +51,25 @@ WORKER = textwrap.dedent("""
                    mesh=mesh)
     state = tr.init_state(jax.random.PRNGKey(0), (8, 16, 16, 16, 2))
     state, metrics = tr.train_step(state, vol, mask)
+
+    # orbax round-trip across both processes (VERDICT r2 next-9): save the
+    # post-step state collectively, restore into a fresh template, compare
+    from ldm3d.train.checkpoint import CheckpointManager
+    mgr = CheckpointManager(sys.argv[4], keep=1)
+    mgr.save(1, state)
+    mgr.wait()
+    template = tr.init_state(jax.random.PRNGKey(9), (8, 16, 16, 16, 2))
+    restored, ep = mgr.restore(template)
+    leaves = zip(jax.tree_util.tree_leaves(jax.device_get(state.params)),
+                 jax.tree_util.tree_leaves(jax.device_get(restored.params)))
+    ckpt_ok = bool(ep == 1 and all((a == b).all() for a, b in leaves))
+    mgr.close()
+
     out = {"pid": pid,
            "rows": [int(rows.start), int(rows.stop)],
            "batch_mean": float(jnp.mean(vol)),
-           "loss": float(metrics["loss"])}
+           "loss": float(metrics["loss"]),
+           "ckpt_ok": ckpt_ok}
     print("RESULT " + json.dumps(out))
 """)
 
@@ -74,8 +89,10 @@ def test_two_process_cpu_training_step(tmp_path):
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = "/root/repo" + (
         ":" + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
+    ckpt_dir = str(tmp_path / "ckpt")
     procs = [subprocess.Popen(
-        [sys.executable, str(worker), str(pid), str(port), cache_dir],
+        [sys.executable, str(worker), str(pid), str(port), cache_dir,
+         ckpt_dir],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         cwd="/root/repo", env=env) for pid in range(2)]
     outs = []
@@ -99,3 +116,6 @@ def test_two_process_cpu_training_step(tmp_path):
     assert results[0]["batch_mean"] == results[1]["batch_mean"]
     assert results[0]["loss"] == results[1]["loss"]
     assert np.isfinite(results[0]["loss"])
+    # the collective orbax save/restore round-tripped bit-equal on BOTH
+    # processes
+    assert results[0]["ckpt_ok"] and results[1]["ckpt_ok"]

@@ -36,6 +36,9 @@ DM_REF_S_PER_VOL = 22.0 / 8.0
 # TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 — the MFU denominator
 # (VERDICT r1 #9: report utilization vs the chip, not just vs V100s).
 V5E_PEAK_FLOPS = 197e12
+# v5e HBM bandwidth: 819 GB/s — the roofline's memory axis (VERDICT r2
+# next-6: substantiate "HBM-bound" with measured bytes/step vs this peak).
+V5E_PEAK_HBM_BPS = 819e9
 
 
 def step_mfu(fn, dt_seconds, *args):
@@ -47,6 +50,30 @@ def step_mfu(fn, dt_seconds, *args):
     if not flops or flops <= 0:
         return None
     return flops / dt_seconds / V5E_PEAK_FLOPS
+
+
+def step_roofline(fn, dt_seconds, *args):
+    """Both roofline axes of one executed step: MFU (flops/time vs MXU
+    peak) and achieved HBM bandwidth (bytes-accessed/time vs HBM peak),
+    plus arithmetic intensity and which ceiling binds. The v5e ridge point
+    is 197e12/819e9 = 241 flops/byte: programs with AI below that are
+    bandwidth-limited no matter how well the MXU is fed."""
+    from ldm3d.utils.profiling import cost_estimate
+    cost = cost_estimate(fn, *args)
+    if not cost or cost["flops"] <= 0:
+        return {}
+    out = {"mfu": cost["flops"] / dt_seconds / V5E_PEAK_FLOPS}
+    if cost["bytes_accessed"] > 0:
+        gbps = cost["bytes_accessed"] / dt_seconds
+        ai = cost["flops"] / cost["bytes_accessed"]
+        out.update({
+            "hbm_gbps": gbps / 1e9,
+            "hbm_util": gbps / V5E_PEAK_HBM_BPS,
+            "arith_intensity": ai,
+            "bound": "memory" if ai < V5E_PEAK_FLOPS / V5E_PEAK_HBM_BPS
+                     else "compute",
+        })
+    return out
 
 
 def _abstract(tree):
@@ -84,13 +111,14 @@ def bench_vqvae(batch, runs):
     abs_state = _abstract(state)
     dt = bench_step(trainer.train_step, state, lambda i: (vol, mask), runs)
     s_per_vol = dt / batch
-    mfu = step_mfu(trainer.train_step, dt, abs_state, vol, mask)
+    rl = step_roofline(trainer.train_step, dt, abs_state, vol, mask)
     print(json.dumps({
         "metric": "vqvae_b8_train_step_128^3",
         "value": round(dt, 4), "unit": "s/step",
         "batch": batch,
         "s_per_volume": round(s_per_vol, 4),
-        "mfu": round(mfu, 4) if mfu is not None else None,
+        **{k: round(v, 4) if isinstance(v, float) else v
+           for k, v in rl.items()},
         "vs_baseline": round(VQ_REF_S_PER_VOL / s_per_vol, 2),
     }))
 
@@ -112,13 +140,14 @@ def bench_dm(batch, runs):
     abs_state = _abstract(state)
     dt = bench_step(trainer.train_step, state, lambda i: (vol, ctx), runs)
     s_per_vol = dt / batch
-    mfu = step_mfu(trainer.train_step, dt, abs_state, vol, ctx)
+    rl = step_roofline(trainer.train_step, dt, abs_state, vol, ctx)
     print(json.dumps({
         "metric": "conditional_dm_train_step_128^3_T1000",
         "value": round(dt, 4), "unit": "s/step",
         "batch": batch,
         "s_per_volume": round(s_per_vol, 4),
-        "mfu": round(mfu, 4) if mfu is not None else None,
+        **{k: round(v, 4) if isinstance(v, float) else v
+           for k, v in rl.items()},
         "vs_baseline": round(DM_REF_S_PER_VOL / s_per_vol, 2),
     }))
 
@@ -140,13 +169,14 @@ def bench_gan(batch, runs):
     abs_state = _abstract(state)
     dt = bench_step(trainer.train_step, state, lambda i: (vol, mask), runs)
     s_per_vol = dt / batch
-    mfu = step_mfu(trainer.train_step, dt, abs_state, vol, mask)
+    rl = step_roofline(trainer.train_step, dt, abs_state, vol, mask)
     print(json.dumps({
         "metric": "vqgan_attn_train_step_128^3",
         "value": round(dt, 4), "unit": "s/step",
         "batch": batch,
         "s_per_volume": round(s_per_vol, 4),
-        "mfu": round(mfu, 4) if mfu is not None else None,
+        **{k: round(v, 4) if isinstance(v, float) else v
+           for k, v in rl.items()},
         "vs_baseline": None,
     }))
 
