@@ -104,10 +104,30 @@ class CSVLogger:
         row = {"epoch": epoch, **{k: float(v) for k, v in metrics.items()}}
         new_file = not os.path.exists(self.path)
         if self._fieldnames is None:
-            self._fieldnames = list(row.keys())
+            if not new_file:
+                # append-resume: adopt the existing file's header so
+                # columns stay aligned with earlier rows
+                with open(self.path, newline="") as f:
+                    header = next(csv.reader(f), None)
+                self._fieldnames = header or list(row.keys())
+            else:
+                self._fieldnames = list(row.keys())
+        late = [k for k in row if k not in self._fieldnames]
+        if late:
+            # Columns that first appear mid-run (e.g. latent_fid at
+            # fidelity_freq boundaries) widen the header: rewrite the
+            # file once, back-filling earlier rows with blanks.
+            self._fieldnames = self._fieldnames + late
+            if not new_file:
+                with open(self.path, newline="") as f:
+                    old_rows = list(csv.DictReader(f))
+                with open(self.path, "w", newline="") as f:
+                    writer = csv.DictWriter(f, fieldnames=self._fieldnames)
+                    writer.writeheader()
+                    for r in old_rows:
+                        writer.writerow(r)
         with open(self.path, "a", newline="") as f:
-            writer = csv.DictWriter(f, fieldnames=self._fieldnames,
-                                    extrasaction="ignore")
+            writer = csv.DictWriter(f, fieldnames=self._fieldnames)
             if new_file:
                 writer.writeheader()
             writer.writerow(row)

@@ -27,10 +27,18 @@ def read_training_log(path: str) -> dict:
         rows = list(csv.DictReader(f))
     if not rows:
         return {}
+    def cell(r, k):
+        # blank cells (columns that appeared mid-run, e.g. periodic
+        # latent_fid) parse to NaN rather than dropping the column
+        v = r.get(k, "")
+        if v is None or v == "":
+            return np.nan
+        return float(v)
+
     cols = {}
-    for k in rows[0]:
+    for k in rows[-1]:
         try:
-            cols[k] = np.array([float(r[k]) for r in rows])
+            cols[k] = np.array([cell(r, k) for r in rows])
         except (TypeError, ValueError):
             continue
     return cols

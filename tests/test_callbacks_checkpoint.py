@@ -75,6 +75,29 @@ def test_csv_logger_format_and_append(tmp_path):
     assert len(rows) == 3 and rows[2]["epoch"] == "2"
 
 
+def test_csv_logger_late_columns(tmp_path):
+    """Columns that first appear mid-run (periodic latent_fid at
+    fidelity_freq boundaries) must widen the header, not be dropped."""
+    from ldm3d.utils.visualize import read_training_log
+    path = str(tmp_path / "training.log")
+    log = CSVLogger(path)
+    log(0, {"loss": 0.5})
+    log(1, {"loss": 0.4, "latent_fid": 12.0})   # late column
+    log(2, {"loss": 0.3})
+    rows = list(csv.DictReader(open(path)))
+    assert "latent_fid" in rows[0]
+    assert rows[0]["latent_fid"] == "" and rows[1]["latent_fid"] == "12.0"
+    # reader maps blanks to NaN instead of discarding the column
+    cols = read_training_log(path)
+    assert "latent_fid" in cols
+    assert np.isnan(cols["latent_fid"][0]) and cols["latent_fid"][1] == 12.0
+    # append-resume adopts the widened header
+    log2 = CSVLogger(path, append=True)
+    log2(3, {"loss": 0.2, "latent_fid": 9.0})
+    rows = list(csv.DictReader(open(path)))
+    assert len(rows) == 4 and rows[3]["latent_fid"] == "9.0"
+
+
 def test_metrics_logger_jsonl(tmp_path):
     path = str(tmp_path / "metrics.jsonl")
     log = MetricsLogger(path, run_name="r1")

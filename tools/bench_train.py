@@ -96,11 +96,17 @@ def bench_step(fn, state, args_fn, runs):
     return (time.perf_counter() - t0) / runs
 
 
-def bench_vqvae(batch, runs):
+def bench_vqvae(batch, runs, remat=True):
+    from ldm3d.core.config import replace
     from ldm3d.core.presets import get_preset
     from ldm3d.train.vq_trainer import VQTrainer
 
     cfg = get_preset("vqvae_b8_all")
+    if not remat:
+        # MFU lever A/B (VERDICT r2 next-6): rematerialization re-executes
+        # the conv stack in the backward pass — turning it off trades HBM
+        # for fewer FLOPs/step (run with a batch that fits un-remat)
+        cfg = replace(cfg, vqvae=replace(cfg.vqvae, remat=False))
     trainer = VQTrainer(cfg.vqvae, cfg.train)
     shape = (batch, 128, 128, 128, 2)
     state = trainer.init_state(jax.random.PRNGKey(0), shape)
@@ -115,7 +121,7 @@ def bench_vqvae(batch, runs):
     print(json.dumps({
         "metric": "vqvae_b8_train_step_128^3",
         "value": round(dt, 4), "unit": "s/step",
-        "batch": batch,
+        "batch": batch, "remat": remat,
         "s_per_volume": round(s_per_vol, 4),
         **{k: round(v, 4) if isinstance(v, float) else v
            for k, v in rl.items()},
@@ -153,32 +159,39 @@ def bench_dm(batch, runs):
 
 
 def bench_gan(batch, runs):
-    """VQ-GAN attn_cp adversarial step (dual PatchGAN + LPIPS) — the third
-    train-step family; the reference logs record no step time for it."""
+    """VQ-GAN attn_cp step, both phase programs: the warm-up step (epochs
+    < disc_threshold — AE + LPIPS only) and the full adversarial step
+    (dual PatchGAN + feature matching). The reference logs record no step
+    time for either; the roofline attributes the VERDICT-r2 6.7% MFU."""
+    import functools
+
     from ldm3d.core.presets import get_preset
     from ldm3d.train.gan_trainer import GANTrainer
 
     cfg = get_preset("vqgan_attn")
     trainer = GANTrainer(cfg.vqgan, cfg.train)
     shape = (batch, 128, 128, 128, 2)
-    state = trainer.init_state(jax.random.PRNGKey(0), shape)
     vol = jax.random.uniform(jax.random.PRNGKey(1),
                              (batch, 128, 128, 128, 1), jnp.float32)
     mask = jnp.ones_like(vol)
 
-    abs_state = _abstract(state)
-    dt = bench_step(trainer.train_step, state, lambda i: (vol, mask), runs)
-    s_per_vol = dt / batch
-    rl = step_roofline(trainer.train_step, dt, abs_state, vol, mask)
-    print(json.dumps({
-        "metric": "vqgan_attn_train_step_128^3",
-        "value": round(dt, 4), "unit": "s/step",
-        "batch": batch,
-        "s_per_volume": round(s_per_vol, 4),
-        **{k: round(v, 4) if isinstance(v, float) else v
-           for k, v in rl.items()},
-        "vs_baseline": None,
-    }))
+    for warm in (True, False):
+        state = trainer.init_state(jax.random.PRNGKey(0), shape)
+        abs_state = _abstract(state)
+        fn = functools.partial(trainer.train_step, warm=warm)
+        dt = bench_step(fn, state, lambda i: (vol, mask), runs)
+        s_per_vol = dt / batch
+        rl = step_roofline(fn, dt, abs_state, vol, mask)
+        print(json.dumps({
+            "metric": "vqgan_attn_%s_step_128^3"
+                      % ("warmup" if warm else "adversarial"),
+            "value": round(dt, 4), "unit": "s/step",
+            "batch": batch,
+            "s_per_volume": round(s_per_vol, 4),
+            **{k: round(v, 4) if isinstance(v, float) else v
+               for k, v in rl.items()},
+            "vs_baseline": None,
+        }))
 
 
 def main():
@@ -188,13 +201,15 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--only", choices=["vq", "dm", "gan"], default=None)
+    ap.add_argument("--no_remat", action="store_true",
+                    help="A/B the rematerialization lever (vq only)")
     args = ap.parse_args()
     if args.only in (None, "vq"):
-        bench_vqvae(args.batch, args.runs)
+        bench_vqvae(args.batch, args.runs, remat=not args.no_remat)
     if args.only in (None, "dm"):
         bench_dm(args.batch, args.runs)
     if args.only == "gan":
-        bench_gan(min(args.batch, 2), args.runs)
+        bench_gan(args.batch, args.runs)
 
 
 if __name__ == "__main__":
