@@ -84,6 +84,11 @@ class VQVAEConfig:
     # trades ~15% step-time FLOPs for the activation memory that otherwise
     # caps the 128^3 global batch at 2-3 per chip (16G HBM).
     remat: bool = False
+    # Remat granularity: "full" recomputes the whole unit from its input;
+    # "conv" saves conv outputs (the MXU-heavy ops) and recomputes only
+    # the elementwise norm/act tail — fewer backward FLOPs, slightly more
+    # HBM (the roofline lever measured in PERF.md).
+    remat_policy: str = "full"
     quantizer: QuantizerConfig = field(default_factory=QuantizerConfig)
 
     @property

@@ -54,9 +54,11 @@ class GNResidualUnit(nn.Module):
 
 def _gn_res_unit(cfg: VQVAEConfig):
     """GNResidualUnit, rematerialized when cfg.remat (same memory/FLOPs
-    trade as ldm3d/models/vqvae.py::_res_unit)."""
+    trade and remat_policy options as ldm3d/models/vqvae.py::_res_unit)."""
     if cfg.remat:
-        return nn.remat(GNResidualUnit, static_argnums=(2,))
+        from ldm3d.models.vqvae import conv_saveable_policy
+        policy = conv_saveable_policy if cfg.remat_policy == "conv" else None
+        return nn.remat(GNResidualUnit, static_argnums=(2,), policy=policy)
     return GNResidualUnit
 
 

@@ -49,13 +49,25 @@ class VQVAEResidualUnit(nn.Module):
         return jax.nn.relu(x + h)
 
 
+def conv_saveable_policy(prim, *_, **__) -> bool:
+    """jax.checkpoint policy: keep convolution outputs resident, recompute
+    only the cheap elementwise tail (norm/act) in the backward pass. 3D
+    convs are the MXU-heavy ops here, so full remat's re-execution of them
+    is most of its FLOPs overhead; this policy trades a little HBM for
+    that compute back (VERDICT r2 next-6 remat-policy lever)."""
+    return getattr(prim, "name", "") == "conv_general_dilated"
+
+
 def _res_unit(cfg: VQVAEConfig):
     """VQVAEResidualUnit, optionally rematerialized: with cfg.remat the
     unit's activations are recomputed in the backward pass instead of held
     in HBM for the whole step — the jax.checkpoint memory/FLOPs trade that
-    lifts the 128^3 per-chip batch ceiling."""
+    lifts the 128^3 per-chip batch ceiling. cfg.remat_policy="conv"
+    selects the conv-saveable policy above instead of full recompute."""
     if cfg.remat:
-        return nn.remat(VQVAEResidualUnit, static_argnums=(2,))
+        policy = conv_saveable_policy if cfg.remat_policy == "conv" else None
+        return nn.remat(VQVAEResidualUnit, static_argnums=(2,),
+                        policy=policy)
     return VQVAEResidualUnit
 
 

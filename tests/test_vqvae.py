@@ -99,6 +99,32 @@ def test_vqvae_data_parallel_8_devices():
     assert leaf.sharding.is_fully_replicated
 
 
+def test_remat_modes_same_loss_and_grads():
+    """remat off / full / conv-saveable policy are pure memory/FLOPs
+    trades — loss and gradients must agree to float tolerance
+    (ldm3d/models/vqvae.py::conv_saveable_policy)."""
+    from ldm3d.core.config import replace
+    x = synthetic_batch(jax.random.PRNGKey(3), 2, 16)
+    vol, mask = x[0], x[1]
+    results = {}
+    for name, kw in {"off": dict(remat=False),
+                     "full": dict(remat=True, remat_policy="full"),
+                     "conv": dict(remat=True, remat_policy="conv")}.items():
+        cfg = replace(tiny_cfg(levels=2), **kw)
+        trainer = VQTrainer(cfg, train_cfg())
+        state = trainer.init_state(jax.random.PRNGKey(0), (2, 16, 16, 16, 2))
+        state, metrics = trainer.train_step(state, vol, mask)
+        results[name] = (float(metrics["loss"]),
+                         jax.device_get(state.params))
+    for name in ("full", "conv"):
+        assert np.isclose(results[name][0], results["off"][0],
+                          rtol=1e-5), name
+        flat_a = jax.tree_util.tree_leaves(results[name][1])
+        flat_b = jax.tree_util.tree_leaves(results["off"][1])
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
 def test_replace_unused_codebooks_roundtrip():
     cfg = tiny_cfg(levels=2)
     trainer = VQTrainer(cfg, train_cfg())

@@ -96,7 +96,7 @@ def bench_step(fn, state, args_fn, runs):
     return (time.perf_counter() - t0) / runs
 
 
-def bench_vqvae(batch, runs, remat=True):
+def bench_vqvae(batch, runs, remat=True, remat_policy="full"):
     from ldm3d.core.config import replace
     from ldm3d.core.presets import get_preset
     from ldm3d.train.vq_trainer import VQTrainer
@@ -107,6 +107,11 @@ def bench_vqvae(batch, runs, remat=True):
         # the conv stack in the backward pass — turning it off trades HBM
         # for fewer FLOPs/step (run with a batch that fits un-remat)
         cfg = replace(cfg, vqvae=replace(cfg.vqvae, remat=False))
+    elif remat_policy != "full":
+        # lever #2: keep conv outputs resident, recompute only the
+        # elementwise tail (ldm3d/models/vqvae.py::conv_saveable_policy)
+        cfg = replace(cfg, vqvae=replace(cfg.vqvae,
+                                         remat_policy=remat_policy))
     trainer = VQTrainer(cfg.vqvae, cfg.train)
     shape = (batch, 128, 128, 128, 2)
     state = trainer.init_state(jax.random.PRNGKey(0), shape)
@@ -122,6 +127,7 @@ def bench_vqvae(batch, runs, remat=True):
         "metric": "vqvae_b8_train_step_128^3",
         "value": round(dt, 4), "unit": "s/step",
         "batch": batch, "remat": remat,
+        "remat_policy": remat_policy if remat else None,
         "s_per_volume": round(s_per_vol, 4),
         **{k: round(v, 4) if isinstance(v, float) else v
            for k, v in rl.items()},
@@ -203,9 +209,13 @@ def main():
     ap.add_argument("--only", choices=["vq", "dm", "gan"], default=None)
     ap.add_argument("--no_remat", action="store_true",
                     help="A/B the rematerialization lever (vq only)")
+    ap.add_argument("--remat_policy", choices=["full", "conv"],
+                    default="full",
+                    help="remat granularity lever (vq only)")
     args = ap.parse_args()
     if args.only in (None, "vq"):
-        bench_vqvae(args.batch, args.runs, remat=not args.no_remat)
+        bench_vqvae(args.batch, args.runs, remat=not args.no_remat,
+                    remat_policy=args.remat_policy)
     if args.only in (None, "dm"):
         bench_dm(args.batch, args.runs)
     if args.only == "gan":

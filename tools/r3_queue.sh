@@ -31,6 +31,7 @@ COMMON="--synthetic --device_data --num_synthetic 1232 --cache_dir runs/corpus12
   echo "gan_bench_rc=$gan_rc"
   timeout 600 python tools/bench_train.py --only vq --batch 8 --runs 3
   timeout 600 python tools/bench_train.py --only vq --batch 8 --runs 3 --no_remat
+  timeout 600 python tools/bench_train.py --only vq --batch 8 --runs 3 --remat_policy conv
   timeout 600 python tools/bench_train.py --only dm --batch 8 --runs 3
 } >> runs/r3_roofline.log 2>&1
 
