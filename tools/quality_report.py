@@ -28,7 +28,7 @@ REFERENCE_ROWS = [
     ("reference B8-all-KR final", "reconst_loss", 0.0014),
 ]
 
-MILESTONES = (1, 2, 5, 10, 20, 30, 40, 50, 60)
+MILESTONES = (1, 2, 5, 10, 20, 30, 40, 41, 45, 50, 60, 70)
 
 COLS = ("loss", "reconst_loss", "quantize_loss", "val_loss",
         "val_reconst_loss", "val_psnr", "val_ssim",
@@ -36,21 +36,30 @@ COLS = ("loss", "reconst_loss", "quantize_loss", "val_loss",
         # sample-fidelity-vs-epoch curve the reference never measures
         "latent_fid", "latent_mmd")
 
+# VQ-GAN per-term losses (ldm3d/train/gan_trainer.py); appended to the
+# table only when the log contains them (the 40-warm-epoch rows log the
+# adversarial terms as 0)
+GAN_COLS = ("perceptual_loss", "gen_loss", "disc_loss", "gan_feat_loss",
+            "val_perplexity")
+
 
 def report(log_path: str) -> str:
     from ldm3d.utils.visualize import read_training_log
     cols = read_training_log(log_path)
     epochs = np.asarray(cols["epoch"], int)
+    table_cols = COLS + tuple(c for c in GAN_COLS if c in cols)
     lines = []
     lines.append(f"### Convergence: `{log_path}`\n")
-    header = "| epoch | " + " | ".join(COLS) + " |"
+    header = "| epoch | " + " | ".join(table_cols) + " |"
     lines.append(header)
-    lines.append("|" + "---|" * (len(COLS) + 1))
+    lines.append("|" + "---|" * (len(table_cols) + 1))
 
     def fmt(c, e_idx):
         if c not in cols:
             return "—"
         v = float(cols[c][e_idx])
+        if not np.isfinite(v):   # blank cell (column appeared mid-run)
+            return "—"
         return f"{v:.3f}" if "psnr" in c or "ssim" in c else f"{v:.2e}"
 
     for m in MILESTONES:
@@ -60,11 +69,11 @@ def report(log_path: str) -> str:
         if idx.size == 0:
             continue
         i = int(idx[0])
-        lines.append(f"| {m} | " + " | ".join(fmt(c, i) for c in COLS) + " |")
+        lines.append(f"| {m} | " + " | ".join(fmt(c, i) for c in table_cols) + " |")
     # final row
     i = len(epochs) - 1
     lines.append(f"| final ({int(epochs[i]) + 1}) | "
-                 + " | ".join(fmt(c, i) for c in COLS) + " |")
+                 + " | ".join(fmt(c, i) for c in table_cols) + " |")
 
     lines.append("\n**Reference comparison** (4x V100 on real MRI; this run: "
                  "1 TPU v5e chip on the fixed 1232-volume synthetic corpus "
@@ -76,11 +85,12 @@ def report(log_path: str) -> str:
         lines.append(f"| {label} | {metric} | {value:.2e} |")
     for metric in ("val_loss", "val_reconst_loss"):
         if metric in cols:
-            best = float(np.min(cols[metric]))
+            best = float(np.nanmin(cols[metric]))
             lines.append(f"| this framework (best) | {metric} | {best:.2e} |")
     for metric in ("val_psnr", "val_ssim"):
         if metric in cols:
             vals = np.asarray(cols[metric], float)
+            vals = vals[np.isfinite(vals)]
             if metric == "val_ssim":
                 # logs written before the round-2 metrics fix can contain
                 # physically-invalid SSIM > 1 (bf16 conv variance bug,
