@@ -57,7 +57,18 @@ def _restore_trained(trainer, state):
         return state, False
     try:
         from ldm3d.train.checkpoint import CheckpointManager
-        state, epoch = CheckpointManager(path).restore(jax.device_get(state))
+        mgr = CheckpointManager(path)
+        host_state = jax.device_get(state)
+        try:
+            state, epoch = mgr.restore(host_state)
+        except Exception:
+            # checkpoint trained with --ema_decay carries an extra
+            # ema_params subtree; retry with a matching template (the
+            # sampler then automatically uses the averaged weights)
+            ema_template = host_state.replace(
+                ema_params=jax.tree_util.tree_map(
+                    lambda x: x, host_state.params["unet"]))
+            state, epoch = mgr.restore(ema_template)
         # restore returns host arrays; without an explicit device_put the
         # whole model would re-upload on every sampler call (measured:
         # 155 vs 1053 vol/min through this environment's relay)

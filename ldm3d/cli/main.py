@@ -124,6 +124,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_nifti", action="store_true",
                    help="with --test_dm/--test_vq: also export volumes as "
                         ".nii.gz (the reference only writes .npy)")
+    p.add_argument("--ema_decay", type=float, default=None,
+                   help="EMA decay for the U-Net params during --train_dm "
+                        "(e.g. 0.999); sampling and fidelity evals then "
+                        "use the averaged weights. Unset/0 disables (the "
+                        "reference keeps no sampling EMA). Pass the same "
+                        "value to --test_dm so the checkpoint restores")
     p.add_argument("--fidelity_freq", type=int, default=0,
                    help="with --train_dm: every N epochs, generate "
                         "latent samples and log latent-FID / kernel-MMD "
@@ -174,6 +180,8 @@ def apply_overrides(cfg, args):
         train = replace(train, val_fraction=args.val_perc)
     if args.dtype is not None:
         train = replace(train, dtype=args.dtype)
+    if getattr(args, "ema_decay", None) is not None:
+        train = replace(train, ema_decay=args.ema_decay)
     cfg = replace(cfg, train=train)
 
     data = cfg.data

@@ -218,6 +218,9 @@ class TrainConfig:
     log_every: int = 10
     mesh: MeshConfig = field(default_factory=MeshConfig)
     remat: bool = False                # jax.checkpoint the encoder/decoder
+    # EMA of the trainable params, used for sampling/eval when > 0
+    # (diffusion-specific; the reference never maintains sampling EMA)
+    ema_decay: float = 0.0
 
 
 @dataclass(frozen=True)

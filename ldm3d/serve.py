@@ -90,8 +90,10 @@ class GenerationService:
             prog = self.trainer.generate_fn(
                 lat, decode=True, sampler=sampler, sample_steps=sample_steps,
                 guidance_scale=guidance)
+            # must mirror generate_fn's cache-key tuple exactly (incl.
+            # use_ema default) or eviction silently leaks executables
             tkey = (tuple(lat), 0, True, sampler, sample_steps, 0.0,
-                    guidance)
+                    guidance, True)
             self._programs[key] = (prog, tkey)
         else:
             self._programs[key] = self._programs.pop(key)  # mark recent

@@ -137,10 +137,16 @@ class DiffusionTrainer:
                 batch_stats["vqvae"] = vqvae_variables["batch_stats"]
         # Optimizer state only over the U-Net subtree: the VQ-VAE is frozen
         # (reference dm3d.py:418-420 sets trainable=False).
+        # EMA likewise tracks only the U-Net (the frozen stage-1 never
+        # drifts, so averaging it would just double its HBM footprint).
+        # jnp.copy, not asarray: the EMA tree must own distinct buffers or
+        # the donated train-step state would alias params and ema_params
+        ema = jax.tree_util.tree_map(jnp.copy, params["unet"]) \
+            if self.train_cfg.ema_decay > 0 else None
         state = TrainState(
             step=jnp.zeros((), jnp.int32), params=params, vq_stats=vq_stats,
             batch_stats=batch_stats, opt_state=self.tx.init(params["unet"]),
-            rng=s_rng)
+            rng=s_rng, ema_params=ema)
         if self.mesh is not None:
             state = jax.device_put(state, self._state_shardings(state))
         return state
@@ -209,10 +215,20 @@ class DiffusionTrainer:
                                                 state.params["unet"])
             unet_params = optax.apply_updates(state.params["unet"], updates)
             params = {**state.params, "unet": unet_params}
+            ema_params = state.ema_params
+            if ema_params is not None:
+                # warm-up ramp min(decay, (1+n)/(10+n)) so the average
+                # does not stay anchored to the random init early on
+                n = state.step.astype(jnp.float32)
+                d = jnp.minimum(self.train_cfg.ema_decay,
+                                (1.0 + n) / (10.0 + n))
+                ema_params = jax.tree_util.tree_map(
+                    lambda e, p: d * e + (1.0 - d) * p,
+                    ema_params, unet_params)
             new_state = state.replace(
                 step=state.step + 1, params=params, opt_state=opt_state,
                 batch_stats=var_updates.get("batch_stats", state.batch_stats),
-                rng=rng)
+                rng=rng, ema_params=ema_params)
             return new_state, {"loss": loss, "noise_mse": mse}
 
         if self.mesh is None:
@@ -236,7 +252,8 @@ class DiffusionTrainer:
     def generate_fn(self, latent_shape, last_step: int = 0,
                     decode: bool = True, sampler: str = "ddpm",
                     sample_steps: Optional[int] = None, eta: float = 0.0,
-                    guidance_scale: Optional[float] = None):
+                    guidance_scale: Optional[float] = None,
+                    use_ema: bool = True):
         """Build the fused jitted sample(+decode) program for a fixed latent
         shape. Returns f(state, rng, context) -> volumes (or latents).
 
@@ -264,12 +281,16 @@ class DiffusionTrainer:
                     "model never learned the null context token, so "
                     "guided sampling would be a silent no-op")
         key = (tuple(latent_shape), last_step, decode, sampler,
-               sample_steps, eta, guidance_scale)
+               sample_steps, eta, guidance_scale, use_ema)
         if key in self._generate_cache:
             return self._generate_cache[key]
 
         def run(state: TrainState, rng, context):
-            variables = self._apply_variables(state)
+            # Sample from the EMA weights when the state carries them
+            # (--ema_decay > 0) — the standard diffusion practice the
+            # reference lacks; `use_ema=False` forces the raw weights.
+            ema = state.ema_params if use_ema else None
+            variables = self._apply_variables(state, unet_params=ema)
             use_cfg = guidance_scale is not None
             ptype = self.cfg.prediction_type
 
@@ -372,7 +393,8 @@ class DiffusionTrainer:
                  context_value: Optional[int] = None, last_step: int = 0,
                  decode: bool = True, sampler: str = "ddpm",
                  sample_steps: Optional[int] = None, eta: float = 0.0,
-                 guidance_scale: Optional[float] = None):
+                 guidance_scale: Optional[float] = None,
+                 use_ema: bool = True):
         """One-call generation (reference `generate` + `test`,
         dm3d.py:510-545), entirely on device."""
         ctx = None
@@ -381,5 +403,6 @@ class DiffusionTrainer:
             ctx = jnp.full((latent_shape[0],), v, jnp.int32)
         fn = self.generate_fn(latent_shape, last_step, decode,
                               sampler=sampler, sample_steps=sample_steps,
-                              eta=eta, guidance_scale=guidance_scale)
+                              eta=eta, guidance_scale=guidance_scale,
+                              use_ema=use_ema)
         return fn(state, rng, ctx)

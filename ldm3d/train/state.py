@@ -24,6 +24,11 @@ class TrainState:
     batch_stats: Any
     opt_state: Any
     rng: jax.Array
+    # Exponential moving average of the trainable params (diffusion
+    # sampling quality: Ho et al. 2020 use decay 0.9999; the reference
+    # has no EMA). None when disabled — the pytree then has no extra
+    # leaves, keeping old checkpoints restorable.
+    ema_params: Any = None
 
     def variables(self):
         v = {"params": self.params}

@@ -64,6 +64,45 @@ def test_dm_train_step_updates_unet_only():
     assert changed > len(unet_before) // 2, (changed, len(unet_before))
 
 
+def test_dm_ema_params_track_and_sample():
+    """--ema_decay: EMA follows the warm-up ramp min(d, (1+n)/(10+n)),
+    and generate() samples from the averaged weights by default while
+    use_ema=False forces the raw ones."""
+    cfg = tiny_diffusion_cfg()
+    trainer = DiffusionTrainer(cfg, train_cfg(ema_decay=0.999))
+    state = trainer.init_state(jax.random.PRNGKey(0), (2, 16, 16, 16, 1))
+    assert state.ema_params is not None
+    vol, _, _ = synthetic_batch(jax.random.PRNGKey(1), 2, 16)
+
+    prev_params = jax.device_get(state.params["unet"])
+    prev_ema = jax.device_get(state.ema_params)
+    state, _ = trainer.train_step(state, vol)
+    new_params = jax.device_get(state.params["unet"])
+    new_ema = jax.device_get(state.ema_params)
+    # step 0: ramp gives d = 1/10 -> ema = 0.1*init + 0.9*new_params
+    flat = jax.tree_util.tree_leaves
+    for e_new, e_prev, p_new in zip(flat(new_ema), flat(prev_ema),
+                                    flat(new_params)):
+        np.testing.assert_allclose(
+            e_new, 0.1 * e_prev + 0.9 * p_new, rtol=1e-5, atol=1e-6)
+    del prev_params
+
+    # several more steps so EMA and raw weights diverge measurably
+    for _ in range(3):
+        state, _ = trainer.train_step(state, vol)
+    shape = (1, 4, 4, 4, 8)
+    ema_lat = trainer.generate(state, jax.random.PRNGKey(5), shape,
+                               decode=False)
+    raw_lat = trainer.generate(state, jax.random.PRNGKey(5), shape,
+                               decode=False, use_ema=False)
+    assert not np.allclose(np.asarray(ema_lat), np.asarray(raw_lat))
+
+    # disabled EMA keeps the old state tree (old ckpts stay restorable)
+    tr2 = DiffusionTrainer(cfg, train_cfg())
+    st2 = tr2.init_state(jax.random.PRNGKey(0), (2, 16, 16, 16, 1))
+    assert st2.ema_params is None
+
+
 def test_dm_generate_fused_scan_and_decode():
     cfg = tiny_diffusion_cfg()
     trainer = DiffusionTrainer(cfg, train_cfg())

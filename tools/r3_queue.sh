@@ -52,7 +52,7 @@ done
 
 # -- 2. DM comparison runs ------------------------------------------------
 DM="--preset conditional_dm3d --norm group --train_dm $COMMON --lbs 8 \
-    --epochs 60 --fidelity_freq 10 --fidelity_samples 64 \
+    --epochs 60 --fidelity_freq 10 --fidelity_samples 64 --ema_decay 0.999 \
     --vqvae_load_ckpt runs/ckpt_flagship_gn/flagship_vq"
 
 echo "[queue] dm T=500 eps start $(date -u +%H:%M:%S)"
