@@ -13,6 +13,10 @@
 set -u
 cd /root/repo
 
+# single-instance guard: two queues would fight over the one TPU chip
+exec 9>/tmp/r3_queue.lock
+flock -n 9 || { echo "[queue] another instance holds the lock; exiting"; exit 1; }
+
 STAGE1_PID="${1:-}"
 if [ -n "$STAGE1_PID" ]; then
   while kill -0 "$STAGE1_PID" 2>/dev/null; do sleep 30; done
