@@ -67,6 +67,11 @@ class GANTrainer:
         # two compiled step programs (warm-up / adversarial) built lazily;
         # dispatch is host-side on the epoch counter (see train_step)
         self._train_steps = {}
+        # generator-path fake forwards use the post-real-update disc
+        # batch_stats ("shared", reference semantics + lets XLA CSE the
+        # duplicate forwards); "stale" reproduces the round-2 program for
+        # the CSE regression test (tests/test_vqgan.py::test_fake_forward_cse)
+        self._gen_fake_stats = "shared"
         self._host_epoch = None
         self._eval_step = self._build_eval_step()
 
@@ -245,10 +250,26 @@ class GANTrainer:
 
         # Generator path: discriminator params are stop-gradient walls,
         # gradients flow to img_recon through the fake forwards only.
+        # Uses the SAME (post-real-update) batch_stats as the disc-loss fake
+        # forward above: the reference runs ONE fake forward per critic and
+        # shares it between both losses (vqgan_attn_cp.py:724-728, gradient
+        # routing by variable selection). Here the routing is stop_gradient
+        # walls, which are identity in the forward pass — with identical
+        # operands the two fake forwards are identical HLO and XLA CSE
+        # collapses them into one (verified by conv-op counts in the
+        # compiled step, tests/test_vqgan.py::test_fake_forward_cse).
+        if self._gen_fake_stats == "shared":
+            g_stats3 = d3_updates.get("batch_stats",
+                                      state.batch_stats["disc3d"])
+            g_stats2 = d2_updates.get("batch_stats",
+                                      state.batch_stats["disc2d"])
+        else:  # "stale": round-2 behavior, kept for the regression test
+            g_stats3 = state.batch_stats["disc3d"]
+            g_stats2 = state.batch_stats["disc2d"]
         d3_vars_g = {"params": _sg_tree(params["disc3d"]),
-                     "batch_stats": state.batch_stats["disc3d"]}
+                     "batch_stats": g_stats3}
         d2_vars_g = {"params": _sg_tree(params["disc2d"]),
-                     "batch_stats": state.batch_stats["disc2d"]}
+                     "batch_stats": g_stats2}
         fake_logits_g, fake_feat_g = self.disc3d.apply(
             d3_vars_g, img_recon, training=False)
         fake_logits2_g, fake_feat2_g = self.disc2d.apply(

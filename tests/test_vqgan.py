@@ -198,6 +198,69 @@ def test_gan_warm_step_matches_gated():
          new_b.batch_stats["ae"], new_b.disc_opt_state))
 
 
+def _count_convs(hlo_text):
+    """Number of convolution ops in optimized HLO (def sites only; covers
+    both native convolution ops and backend conv custom-calls)."""
+    import re
+    n = len(re.findall(r"=\s+\S+\s+convolution\(", hlo_text))
+    n += len(re.findall(r'custom_call_target="[^"]*[Cc]onv[^"]*"', hlo_text))
+    return n
+
+
+def test_fake_forward_cse():
+    """The disc-loss fake forward (stop_gradient on the *input*) and the
+    generator-loss fake forward (stop_gradient on the *params*) must use
+    identical operands — same recon, same post-real-update batch_stats — so
+    XLA CSE collapses them into one forward. Verified two ways:
+
+    1. micro: grad through {two sg-arranged forwards} compiles to exactly
+       as many convolutions as grad through one forward;
+    2. step: the compiled adversarial train step has strictly fewer
+       convolutions than the round-2 variant whose generator fakes used the
+       pre-update ("stale") batch_stats, which defeats CSE.
+    """
+    cfg = tiny_gan_cfg(disc_threshold=0)
+    trainer = GANTrainer(cfg, train_cfg())
+    vol, mask, _ = synthetic_batch(jax.random.PRNGKey(0), 2, 16)
+    state = trainer.init_state(jax.random.PRNGKey(1), (2, 16, 16, 16, 2))
+
+    # -- 1. micro: the exact sg arrangement of the step's fake forwards
+    from ldm3d.train.gan_trainer import _sg_tree
+    bs = state.batch_stats["disc3d"]
+    p3 = state.params["disc3d"]
+    x = jnp.asarray(vol[..., :1], jnp.float32)
+
+    def shared(p, x):
+        l_d, _ = trainer.disc3d.apply(
+            {"params": p, "batch_stats": bs},
+            jax.lax.stop_gradient(x), training=False)
+        l_g, _ = trainer.disc3d.apply(
+            {"params": _sg_tree(p), "batch_stats": bs}, x, training=False)
+        return jnp.mean(l_d) + jnp.mean(l_g)
+
+    def single(p, x):
+        l, _ = trainer.disc3d.apply(
+            {"params": p, "batch_stats": bs}, x, training=False)
+        return 2.0 * jnp.mean(l)
+
+    def lowered_convs(f):
+        g = jax.jit(jax.grad(f, argnums=(0, 1)))
+        return _count_convs(g.lower(p3, x).compile().as_text())
+
+    assert lowered_convs(shared) == lowered_convs(single)
+
+    # -- 2. step level: shared stats -> fewer convs than stale stats
+    def step_convs(mode):
+        tr = GANTrainer(cfg, train_cfg())
+        tr._gen_fake_stats = mode
+        step = tr._build_train_step(warm=False)
+        return _count_convs(step.lower(state, vol, mask)
+                            .compile().as_text())
+
+    n_shared, n_stale = step_convs("shared"), step_convs("stale")
+    assert n_shared < n_stale, (n_shared, n_stale)
+
+
 def test_gan_train_step_auto_warm_dispatch():
     """train_step picks the warm program below disc_threshold and the full
     program at/after it, re-reading the epoch after next_epoch."""
