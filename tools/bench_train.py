@@ -212,7 +212,19 @@ def main():
     ap.add_argument("--remat_policy", choices=["full", "conv"],
                     default="full",
                     help="remat granularity lever (vq only)")
+    ap.add_argument("--xla_flags", default=None,
+                    help="extra XLA_FLAGS for this process (MFU lever A/B, "
+                    "e.g. '--xla_tpu_enable_latency_hiding_scheduler=true'); "
+                    "appended before first device use — disable the "
+                    "compile cache when comparing (flags are not part of "
+                    "the cache key on all backends)")
     args = ap.parse_args()
+    if args.xla_flags:
+        import os
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "") + " " + args.xla_flags).strip()
+        # a cached executable would mask the flag's effect
+        jax.config.update("jax_compilation_cache_dir", None)
     if args.only in (None, "vq"):
         bench_vqvae(args.batch, args.runs, remat=not args.no_remat,
                     remat_policy=args.remat_policy)
