@@ -372,6 +372,56 @@ class DeviceSyntheticLoader:
             yield vol, mask, ctx
 
 
+class LatentLoader:
+    """In-HBM latent dataset for stage-2 training (--cache_latents).
+
+    The frozen stage-1 encode is deterministic in eval mode, so the
+    reference's per-step re-encode of every 128^3 volume (dm3d.py:438) is
+    redundant compute — encode the corpus ONCE (DiffusionTrainer.
+    encode_latents), keep the tiny latents resident on device (a 1232-
+    volume corpus at 8^3 x 256 is ~0.6 GB f32 vs ~10 GB of volumes), and
+    feed `train_step_latents` straight from HBM. Yields (latents, context)
+    batches under a fresh host permutation per epoch; drops the ragged
+    tail batch like DataLoader (static shapes keep one compiled step)."""
+
+    def __init__(self, latents, context, batch_size: int, seed: int = 0,
+                 mesh=None):
+        self.latents = latents
+        self.context = context
+        self.batch_size = int(batch_size)
+        self._rng = np.random.default_rng(seed)
+        self.n = int(latents.shape[0])
+        if self.n < self.batch_size:
+            raise ValueError(
+                f"{self.n} cached latents < batch size {self.batch_size}")
+        self._shardings = None
+        if mesh is not None and mesh.devices.size > 1:
+            # batch dim over 'data' (AutoShardPolicy.DATA equivalent); the
+            # latent spatial dims stay whole — at 8^3 the with_spatial
+            # constraints in the train step decide any further placement
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ldm3d.parallel.mesh import DATA_AXIS
+            self._shardings = (
+                NamedSharding(mesh, P(DATA_AXIS)),
+                NamedSharding(mesh, P(DATA_AXIS)))
+
+    def __len__(self):
+        return self.n // self.batch_size
+
+    def __iter__(self):
+        order = self._rng.permutation(self.n)
+        bs = self.batch_size
+        for i in range(self.n // bs):
+            idx = jnp.asarray(order[i * bs:(i + 1) * bs], jnp.int32)
+            lat = jnp.take(self.latents, idx, axis=0)
+            ctx = jnp.take(self.context, idx, axis=0)
+            if self._shardings is not None:
+                lat = jax.device_put(lat, self._shardings[0])
+                ctx = jax.device_put(ctx, self._shardings[1])
+            yield lat, ctx
+
+
 def train_val_split(cache, val_fraction: float, seed: int = 0):
     """Deterministic split (reference main.py:160-183 val_perc split).
     `cache` may be a VolumeCache or a plain volume count."""

@@ -87,7 +87,10 @@ class DiffusionTrainer:
         self.tx = optax.inject_hyperparams(optax.adam)(
             learning_rate=train_cfg.learning_rate, b1=train_cfg.adam_b1,
             b2=train_cfg.adam_b2)
-        self._train_step = None  # built on first call (needs state shardings)
+        # compiled step programs keyed by on_latents (False: encode volumes
+        # through the frozen stage-1 every step, the reference's layout;
+        # True: train directly on precomputed latents — see --cache_latents)
+        self._train_steps: Dict[bool, Any] = {}
         # compiled samplers, keyed by (shape, sampler, steps, ...): reused
         # across generate() calls so per-epoch image logging / serving does
         # not recompile the T-step scan every time
@@ -164,13 +167,21 @@ class DiffusionTrainer:
             v["batch_stats"] = state.batch_stats
         return v
 
-    def _build_train_step(self, state_template=None):
+    def _build_train_step(self, state_template=None,
+                          on_latents: bool = False):
         global_bs = self.train_cfg.batch_size
 
         def loss_fn(unet_params, state, images, context, rng):
             variables = self._apply_variables(state, unet_params)
-            latents = self.model.apply(
-                variables, images, method="encode_latents")
+            if on_latents:
+                # `images` already holds frozen-encoder latents
+                # (--cache_latents: the stage-1 encode is deterministic in
+                # eval mode, so precomputing it once per corpus is exact —
+                # tests/test_dm_trainer.py::test_cached_latent_step_matches)
+                latents = images
+            else:
+                latents = self.model.apply(
+                    variables, images, method="encode_latents")
             latents = jax.lax.stop_gradient(latents)
             t_rng, n_rng, c_rng = jax.random.split(rng, 3)
             b = latents.shape[0]
@@ -240,12 +251,33 @@ class DiffusionTrainer:
         return jax.jit(with_spatial(self.mesh, step), donate_argnums=(0,),
                        out_shardings=(state_sh, rep))
 
-    def train_step(self, state: TrainState, images, context=None):
-        if self._train_step is None:
-            self._train_step = self._build_train_step(state)
+    def _step(self, on_latents, state, x, context):
+        if on_latents not in self._train_steps:
+            self._train_steps[on_latents] = self._build_train_step(
+                state, on_latents=on_latents)
         if context is None:
-            context = jnp.zeros((images.shape[0],), jnp.int32)
-        return self._train_step(state, images, context)
+            context = jnp.zeros((x.shape[0],), jnp.int32)
+        return self._train_steps[on_latents](state, x, context)
+
+    def train_step(self, state: TrainState, images, context=None):
+        return self._step(False, state, images, context)
+
+    def train_step_latents(self, state: TrainState, latents, context=None):
+        """Train step on precomputed frozen-encoder latents: removes the
+        128^3 conv encode from every step (the stage-1 is frozen, so the
+        per-step re-encode the reference performs, dm3d.py:438, is
+        redundant compute — cache once via `encode_latents`, then train
+        on the 8^3 latents directly)."""
+        return self._step(True, state, latents, context)
+
+    def encode_latents(self, state: TrainState, images) -> jax.Array:
+        """Quantized latents of `images` under the frozen stage-1 (jitted,
+        cached program). Deterministic (eval mode), so the output can be
+        precomputed once per corpus (--cache_latents)."""
+        if not hasattr(self, "_encode_fn"):
+            self._encode_fn = jax.jit(lambda st, im: self.model.apply(
+                self._apply_variables(st), im, method="encode_latents"))
+        return self._encode_fn(state, images)
 
     # -- sampling ---------------------------------------------------------
 
@@ -354,10 +386,7 @@ class DiffusionTrainer:
         on the frozen stage-1 params, so features cached at epoch 0 stay
         valid for the whole DM run."""
         from ldm3d.ops.fid import pool_latent_features
-        if not hasattr(self, "_encode_fn"):
-            self._encode_fn = jax.jit(lambda st, im: self.model.apply(
-                self._apply_variables(st), im, method="encode_latents"))
-        return pool_latent_features(self._encode_fn(state, images))
+        return pool_latent_features(self.encode_latents(state, images))
 
     def fidelity_eval(self, state: TrainState, real_feats, rng,
                       num_samples: int = 64, batch: int = 16,

@@ -59,6 +59,18 @@ def test_cli_train_and_test_dm(tmp_path):
     assert np.isfinite(vol).all()
 
 
+def test_cli_train_dm_cache_latents(tmp_path):
+    """--cache_latents trains end-to-end from the one-pass latent cache
+    (LatentLoader path) and leaves a loadable checkpoint."""
+    ckpt, out = _run(tmp_path, "--train_dm", "--epochs", "2",
+                     "--cache_latents")
+    assert os.path.exists(os.path.join(ckpt, "smoke_dm", "training.log"))
+    _run(tmp_path, "--test_dm")
+    gen = [f for f in os.listdir(out) if f.endswith(".npy")]
+    assert gen and np.isfinite(
+        np.load(os.path.join(out, gen[0]))).all()
+
+
 def test_cli_train_dm_logs_fidelity(tmp_path):
     """--fidelity_freq logs latent-FID / kernel-MMD columns into
     training.log every N epochs (the sample-fidelity measurement the

@@ -191,3 +191,67 @@ def test_generate_fn_program_cache_reused():
     assert f1 is f2
     f3 = tr.generate_fn((2, 4, 4, 4, 8), sampler="ddim", sample_steps=2)
     assert f3 is not f1
+
+
+def test_cached_latent_step_matches():
+    """--cache_latents is exact: a step on precomputed frozen-encoder
+    latents must produce bit-identical loss and parameters to the volume
+    path (the stage-1 encode is deterministic in eval mode, so per-step
+    re-encoding — reference dm3d.py:438 — is pure redundant compute)."""
+    cfg = tiny_diffusion_cfg(conditional=True)
+    vol, _, _ = synthetic_batch(jax.random.PRNGKey(1), 2, 16)
+    ctx = jnp.array([0, 1], jnp.int32)
+
+    tr_a = DiffusionTrainer(cfg, train_cfg(), conditional=True)
+    state_a = tr_a.init_state(jax.random.PRNGKey(0), (2, 16, 16, 16, 1))
+    new_a, m_a = tr_a.train_step(state_a, vol, ctx)
+
+    tr_b = DiffusionTrainer(cfg, train_cfg(), conditional=True)
+    state_b = tr_b.init_state(jax.random.PRNGKey(0), (2, 16, 16, 16, 1))
+    lat = tr_b.encode_latents(state_b, vol)
+    assert lat.shape == (2, 4, 4, 4, 8)
+    new_b, m_b = tr_b.train_step_latents(state_b, lat, ctx)
+
+    np.testing.assert_array_equal(np.asarray(m_a["loss"]),
+                                  np.asarray(m_b["loss"]))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        (new_a.params["unet"], new_a.opt_state, new_a.ema_params),
+        (new_b.params["unet"], new_b.opt_state, new_b.ema_params))
+
+
+def test_latent_loader_shuffles_and_drops_tail():
+    from ldm3d.data.pipeline import LatentLoader
+    lat = jnp.arange(7, dtype=jnp.float32).reshape(7, 1, 1, 1, 1)
+    ctx = jnp.arange(7, dtype=jnp.int32)
+    loader = LatentLoader(lat, ctx, batch_size=2, seed=3)
+    assert len(loader) == 3
+    seen = []
+    for lb, cb in loader:
+        assert lb.shape == (2, 1, 1, 1, 1) and cb.shape == (2,)
+        # latent/context pairing preserved under shuffling
+        np.testing.assert_array_equal(np.asarray(lb[:, 0, 0, 0, 0]),
+                                      np.asarray(cb, np.float32))
+        seen.extend(np.asarray(cb).tolist())
+    assert len(seen) == 6 and len(set(seen)) == 6
+    # a second epoch reshuffles
+    order2 = [int(c) for _, cb in loader for c in np.asarray(cb)]
+    assert sorted(order2)[:6] != seen or order2 != seen
+
+
+def test_cached_latent_step_on_mesh():
+    """LatentLoader + train_step_latents under a data x space mesh: batches
+    come out sharded over 'data' and the compiled latent step runs them."""
+    from ldm3d.data.pipeline import LatentLoader
+    mesh = make_mesh(MeshConfig(data=4, space=2))
+    cfg = tiny_diffusion_cfg()
+    trainer = DiffusionTrainer(cfg, train_cfg(batch_size=4), mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0), (4, 16, 16, 16, 1))
+    vol, _, ctx = synthetic_batch(jax.random.PRNGKey(1), 8, 16)
+    lat = trainer.encode_latents(state, vol)
+    loader = LatentLoader(lat, ctx, batch_size=4, seed=0, mesh=mesh)
+    for lb, cb in loader:
+        assert not lb.sharding.is_fully_replicated  # data-sharded
+        state, metrics = trainer.train_step_latents(state, lb, cb)
+    assert np.isfinite(float(metrics["loss"]))

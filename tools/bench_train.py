@@ -135,7 +135,7 @@ def bench_vqvae(batch, runs, remat=True, remat_policy="full"):
     }))
 
 
-def bench_dm(batch, runs):
+def bench_dm(batch, runs, on_latents=False):
     from __graft_entry__ import _flagship_cfg
     from ldm3d.core.config import TrainConfig
     from ldm3d.train.dm_trainer import DiffusionTrainer
@@ -149,12 +149,23 @@ def bench_dm(batch, runs):
                              (batch, 128, 128, 128, 1), jnp.float32)
     ctx = jnp.zeros((batch,), jnp.int32)
 
+    if on_latents:
+        # --cache_latents step: the frozen-encoder pass is precomputed, so
+        # the step is the 8^3-latent U-Net alone (exactness proven in
+        # tests/test_dm_trainer.py::test_cached_latent_step_matches)
+        x = trainer.encode_latents(state, vol)
+        fn = trainer.train_step_latents
+        metric = "conditional_dm_train_step_cached_latents_T1000"
+    else:
+        x = vol
+        fn = trainer.train_step
+        metric = "conditional_dm_train_step_128^3_T1000"
     abs_state = _abstract(state)
-    dt = bench_step(trainer.train_step, state, lambda i: (vol, ctx), runs)
+    dt = bench_step(fn, state, lambda i: (x, ctx), runs)
     s_per_vol = dt / batch
-    rl = step_roofline(trainer.train_step, dt, abs_state, vol, ctx)
+    rl = step_roofline(fn, dt, abs_state, x, ctx)
     print(json.dumps({
-        "metric": "conditional_dm_train_step_128^3_T1000",
+        "metric": metric,
         "value": round(dt, 4), "unit": "s/step",
         "batch": batch,
         "s_per_volume": round(s_per_vol, 4),
@@ -200,18 +211,57 @@ def bench_gan(batch, runs):
         }))
 
 
+def bench_sample(batch, runs):
+    """Roofline of the headline program itself: the fused 1000-step
+    conditional sample + VQ decode (bench.py measures its throughput; this
+    attributes it — the 8^3-latent U-Net chain is tiny-tensor/launch-bound,
+    so its MFU floor explains why batching to 16+ is the lever)."""
+    from __graft_entry__ import _flagship_cfg
+    from ldm3d.core.config import TrainConfig
+    from ldm3d.train.dm_trainer import DiffusionTrainer
+
+    cfg = _flagship_cfg()
+    trainer = DiffusionTrainer(cfg, TrainConfig(batch_size=batch),
+                               conditional=True)
+    state = trainer.init_state(jax.random.PRNGKey(0), (1, 128, 128, 128, 1))
+    ls = cfg.latent_size
+    shape = (batch, ls, ls, ls, cfg.latent_channels)
+    fn = trainer.generate_fn(shape, decode=True)
+    ctx = jnp.ones((batch,), jnp.int32)
+
+    out = fn(state, jax.random.PRNGKey(1), ctx)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(runs):
+        out = fn(state, jax.random.PRNGKey(2 + i), ctx)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / runs
+    rl = step_roofline(fn, dt, _abstract(state), jax.random.PRNGKey(1), ctx)
+    print(json.dumps({
+        "metric": "cond_sample_decode_1000step_128^3",
+        "value": round(dt, 4), "unit": "s/batch", "batch": batch,
+        "s_per_volume": round(dt / batch, 4),
+        **{k: round(v, 4) if isinstance(v, float) else v
+           for k, v in rl.items()},
+        "vs_baseline": round(10.0 / (dt / batch), 1),
+    }))
+
+
 def main():
     from bench import _enable_compile_cache
     _enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--runs", type=int, default=5)
-    ap.add_argument("--only", choices=["vq", "dm", "gan"], default=None)
+    ap.add_argument("--only", choices=["vq", "dm", "gan", "sample"],
+                    default=None)
     ap.add_argument("--no_remat", action="store_true",
                     help="A/B the rematerialization lever (vq only)")
     ap.add_argument("--remat_policy", choices=["full", "conv"],
                     default="full",
                     help="remat granularity lever (vq only)")
+    ap.add_argument("--dm_latents", action="store_true",
+                    help="bench the --cache_latents DM step (dm only)")
     ap.add_argument("--xla_flags", default=None,
                     help="extra XLA_FLAGS for this process (MFU lever A/B, "
                     "e.g. '--xla_tpu_enable_latency_hiding_scheduler=true'); "
@@ -229,9 +279,11 @@ def main():
         bench_vqvae(args.batch, args.runs, remat=not args.no_remat,
                     remat_policy=args.remat_policy)
     if args.only in (None, "dm"):
-        bench_dm(args.batch, args.runs)
+        bench_dm(args.batch, args.runs, on_latents=args.dm_latents)
     if args.only == "gan":
         bench_gan(args.batch, args.runs)
+    if args.only == "sample":
+        bench_sample(args.batch, args.runs)
 
 
 if __name__ == "__main__":
