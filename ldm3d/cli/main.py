@@ -138,6 +138,20 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference lacks); 0 disables")
     p.add_argument("--fidelity_samples", type=int, default=64,
                    help="generated samples per fidelity eval")
+    p.add_argument("--fidelity_sweep", action="store_true",
+                   help="restore the trained DM checkpoint and score "
+                        "latent-FID/kernel-MMD over a sampler x guidance "
+                        "grid (--sweep_samplers x --guidance_grid); "
+                        "writes a markdown + JSON report to --out_dir")
+    p.add_argument("--sweep_samplers", default="ddpm,ddim:50,dpmpp:25",
+                   help="comma list of sampler[:steps] entries for "
+                        "--fidelity_sweep (steps default: full T for "
+                        "ddpm, T//20 for ddim/dpmpp)")
+    p.add_argument("--guidance_grid", default="none",
+                   help="comma list of guidance scales for "
+                        "--fidelity_sweep; 'none' = no classifier-free "
+                        "guidance (scales > 0 need a checkpoint trained "
+                        "with --cfg_dropout > 0)")
     p.add_argument("--cache_latents", action="store_true",
                    help="with --train_dm: encode the corpus through the "
                         "frozen stage-1 ONCE and train the U-Net from "
@@ -622,6 +636,99 @@ def run_test_dm(cfg, args):
                 print("saved", nii)
 
 
+def run_fidelity_sweep(cfg, args):
+    """Sample-fidelity study on a trained DM checkpoint: latent-FID and
+    kernel-MMD (ldm3d/ops/fid.py, vs held-out frozen-encoder features)
+    over a sampler x guidance-scale grid. Quantifies what the reference
+    could only eyeball (its test() saves 10 volumes, dm3d.py:534-545) and
+    measures the classifier-free-guidance fidelity trade-off the
+    reference cannot express at all (no null-token training)."""
+    import json
+    import time
+
+    import jax
+    from ldm3d.parallel.mesh import make_mesh
+    from ldm3d.train.checkpoint import CheckpointManager
+
+    mesh = make_mesh(cfg.train.mesh, batch_size=cfg.train.batch_size)
+    size = cfg.data.volume_size
+    trainer = _dm_trainer(cfg, args, mesh)
+    state = trainer.init_state(
+        jax.random.PRNGKey(cfg.train.seed),
+        (1, size, size, size, cfg.diffusion.vqvae.in_channels))
+    ckpt = CheckpointManager(_ckpt_dir(cfg, "dm"))
+    state, epoch = ckpt.restore(jax.device_get(state), args.test_epoch)
+    state = jax.device_put(state)
+    print(f"fidelity sweep from epoch {epoch} "
+          f"(T={cfg.diffusion.timesteps}, "
+          f"prediction={cfg.diffusion.prediction_type})")
+
+    train_loader, val_loader = _loaders(cfg, args, mesh=mesh)
+    feats = [trainer.latent_features(state, batch[0])
+             for batch in (val_loader or train_loader)]
+    real_feats = np.concatenate(feats, axis=0)
+    print(f"cached {real_feats.shape[0]} real-volume feature rows")
+
+    samplers = []
+    for entry in args.sweep_samplers.split(","):
+        entry = entry.strip()
+        if not entry:
+            continue
+        name, _, steps = entry.partition(":")
+        samplers.append((name, int(steps) if steps else None))
+    guidances = []
+    for g in args.guidance_grid.split(","):
+        g = g.strip().lower()
+        guidances.append(None if g in ("", "none", "0") else float(g))
+
+    rows = []
+    for sampler, steps in samplers:
+        for g in guidances:
+            t0 = time.perf_counter()
+            try:
+                scores = trainer.fidelity_eval(
+                    state, real_feats,
+                    jax.random.PRNGKey(cfg.train.seed + 9000),
+                    num_samples=args.fidelity_samples,
+                    batch=min(args.fidelity_samples, 16),
+                    sampler=sampler, sample_steps=steps,
+                    guidance_scale=g)
+            except ValueError as e:  # e.g. guidance without cfg_dropout
+                print(f"skip {sampler}:{steps} g={g}: {e}")
+                continue
+            dt = time.perf_counter() - t0
+            row = {"sampler": sampler, "steps": steps, "guidance": g,
+                   "latent_fid": round(float(scores["latent_fid"]), 3),
+                   "latent_mmd": round(float(scores["latent_mmd"]), 4),
+                   "eval_seconds": round(dt, 1)}
+            rows.append(row)
+            print(row, flush=True)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    base = os.path.join(args.out_dir, f"fidelity_sweep_{cfg.name}")
+    with open(base + ".json", "w") as f:
+        json.dump({"epoch": epoch, "timesteps": cfg.diffusion.timesteps,
+                   "prediction_type": cfg.diffusion.prediction_type,
+                   "num_samples": args.fidelity_samples, "rows": rows},
+                  f, indent=1)
+    lines = [f"# Fidelity sweep — {cfg.name} (epoch {epoch}, "
+             f"T={cfg.diffusion.timesteps}, "
+             f"{cfg.diffusion.prediction_type}-prediction, "
+             f"{args.fidelity_samples} samples/cell)", "",
+             "| sampler | steps | guidance | latent-FID | kernel-MMD "
+             "| eval s |", "|---|---|---|---|---|---|"]
+    for r in rows:
+        lines.append(
+            f"| {r['sampler']} | {r['steps'] or 'T'} "
+            f"| {r['guidance'] if r['guidance'] is not None else '—'} "
+            f"| {r['latent_fid']} | {r['latent_mmd']} "
+            f"| {r['eval_seconds']} |")
+    with open(base + ".md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote", base + ".md")
+    return rows
+
+
 def _sweep_trial(cfg, args, point, metric):
     """Train one sweep point; returns (record, metric value or None)."""
     from ldm3d.core.sweep import apply_sweep_point
@@ -762,8 +869,10 @@ def main(argv=None):
         run_train_dm(cfg, args)
     if args.test_dm:
         run_test_dm(cfg, args)
+    if args.fidelity_sweep:
+        run_fidelity_sweep(cfg, args)
     if not any([args.create_dataset, args.train_vq, args.test_vq,
-                args.train_dm, args.test_dm]):
+                args.train_dm, args.test_dm, args.fidelity_sweep]):
         print("nothing to do: pass --train_vq/--test_vq/--train_dm/"
               "--test_dm/--create_dataset")
 

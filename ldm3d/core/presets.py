@@ -266,3 +266,16 @@ def _smoke() -> ExperimentConfig:
         name="smoke", model="vqvae", vqvae=vq, diffusion=diff,
         train=TrainConfig(batch_size=2, epochs=2, dtype="float32"),
         data=DataConfig(volume_size=16, test_run=True))
+
+
+@register("smoke_cond")
+def _smoke_cond() -> ExperimentConfig:
+    """Conditional counterpart of `smoke`: the CPU-runnable version of
+    conditional_dm3d (context-token U-Net + classifier-free-guidance
+    surface, reference main_conditional_dm.py), so the conditional CLI
+    path is covered by the suite at tiny shapes."""
+    import dataclasses
+
+    cfg = _smoke()
+    return dataclasses.replace(cfg, name="smoke_cond",
+                               model="conditional_dm")

@@ -391,7 +391,8 @@ class DiffusionTrainer:
     def fidelity_eval(self, state: TrainState, real_feats, rng,
                       num_samples: int = 64, batch: int = 16,
                       sampler: str = "ddim",
-                      sample_steps: Optional[int] = None) -> dict:
+                      sample_steps: Optional[int] = None,
+                      guidance_scale: Optional[float] = None) -> dict:
         """Generate `num_samples` latent samples (split evenly over the
         context values for a conditional model) and score them against
         `real_feats` with latent-FID and kernel-MMD — the quantitative
@@ -412,7 +413,8 @@ class DiffusionTrainer:
                 rng, sub = jax.random.split(rng)
                 lats = self.generate(state, sub, shape, context_value=c,
                                      decode=False, sampler=sampler,
-                                     sample_steps=sample_steps)
+                                     sample_steps=sample_steps,
+                                     guidance_scale=guidance_scale)
                 n = min(batch, per - done)
                 feats.append(pool_latent_features(lats[:n]))
                 done += n

@@ -93,6 +93,52 @@ def test_cli_nothing_to_do(tmp_path, capsys):
     assert "nothing to do" in capsys.readouterr().out
 
 
+def test_cli_conditional_dm_fidelity_sweep(tmp_path):
+    """--fidelity_sweep on a conditional checkpoint trained with
+    --cfg_dropout: scores every (sampler, guidance) grid cell and writes
+    the markdown + JSON report (the CFG fidelity study the reference
+    cannot express — it has no null-token training)."""
+    cache = str(tmp_path / "cache")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    base = ["--preset", "smoke_cond", "--synthetic", "--num_synthetic",
+            "6", "--cache_dir", cache, "--ckpt_dir", ckpt, "--out_dir",
+            out, "--val_perc", "0.34"]
+    main(base + ["--train_dm", "--epochs", "1", "--cfg_dropout", "0.2"])
+    main(base + ["--fidelity_sweep", "--cfg_dropout", "0.2",
+                 "--fidelity_samples", "4",
+                 "--sweep_samplers", "ddim:2",
+                 "--guidance_grid", "none,2.0"])
+    report = json.load(open(os.path.join(
+        out, "fidelity_sweep_smoke_cond.json")))
+    rows = report["rows"]
+    assert {(r["sampler"], r["guidance"]) for r in rows} == {
+        ("ddim", None), ("ddim", 2.0)}
+    assert all(np.isfinite(r["latent_fid"]) for r in rows)
+    assert os.path.exists(os.path.join(
+        out, "fidelity_sweep_smoke_cond.md"))
+
+
+def test_cli_fidelity_sweep_skips_guidance_without_cfg_dropout(tmp_path,
+                                                               capsys):
+    """Guidance cells on a checkpoint trained WITHOUT cfg_dropout are
+    skipped with a message instead of crashing the sweep."""
+    cache = str(tmp_path / "cache")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    base = ["--preset", "smoke_cond", "--synthetic", "--num_synthetic",
+            "6", "--cache_dir", cache, "--ckpt_dir", ckpt, "--out_dir",
+            out, "--val_perc", "0.34"]
+    main(base + ["--train_dm", "--epochs", "1"])
+    main(base + ["--fidelity_sweep", "--fidelity_samples", "4",
+                 "--sweep_samplers", "ddim:2",
+                 "--guidance_grid", "none,2.0"])
+    report = json.load(open(os.path.join(
+        out, "fidelity_sweep_smoke_cond.json")))
+    assert [r["guidance"] for r in report["rows"]] == [None]
+    assert "skip" in capsys.readouterr().out
+
+
 def test_cli_train_vq_shards_batches_over_mesh(tmp_path, monkeypatch):
     """VERDICT r1 weak #2: the CLI training path must shard every batch
     onto the mesh (reference main.py:154-173 AutoShardPolicy.DATA did this
