@@ -52,8 +52,13 @@ class GenerationService:
 
     @classmethod
     def from_checkpoint(cls, exp_cfg, ckpt_dir: str,
-                        epoch: Optional[int] = None):
-        """Restore the newest (or a specific) checkpoint of a train run."""
+                        epoch: Optional[int] = None, ema: bool = False):
+        """Restore the newest (or a specific) checkpoint of a train run.
+
+        `ema=True` builds the restore template with the ema_params subtree
+        a `--train_dm --ema_decay > 0` checkpoint carries (sampling then
+        automatically uses the averaged weights); without it, restoring
+        such a checkpoint fails on the tree mismatch."""
         import jax
         from ldm3d.core.config import TrainConfig
         from ldm3d.train.checkpoint import CheckpointManager
@@ -61,7 +66,8 @@ class GenerationService:
 
         conditional = exp_cfg.model == "conditional_dm"
         trainer = DiffusionTrainer(exp_cfg.diffusion, TrainConfig(
-            batch_size=1), conditional=conditional)
+            batch_size=1, ema_decay=0.999 if ema else 0.0),
+            conditional=conditional)
         size = exp_cfg.data.volume_size
         state = trainer.init_state(
             jax.random.PRNGKey(0),
@@ -243,6 +249,17 @@ def main(argv=None):
                          "trained with (adds the null-context token row "
                          "to the restore template, enabling "
                          "guidance_scale requests)")
+    ap.add_argument("--prediction_type", default=None,
+                    choices=["eps", "v"],
+                    help="set to the --prediction_type the checkpoint "
+                         "was trained with so sampling converts the "
+                         "model output correctly")
+    ap.add_argument("--ema", action="store_true",
+                    help="checkpoint was trained with --ema_decay > 0: "
+                         "restore (and sample from) the EMA weights")
+    ap.add_argument("--norm", default=None, choices=["batch", "group"],
+                    help="normalization family of the checkpoint's "
+                         "frozen stage-1 (--norm at train time)")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8777)
     args = ap.parse_args(argv)
@@ -255,8 +272,15 @@ def main(argv=None):
         diff = preset.diffusion
         preset = replace(preset, diffusion=replace(
             diff, unet=replace(diff.unet, cfg_dropout=args.cfg_dropout)))
-    svc = GenerationService.from_checkpoint(preset,
-                                            args.ckpt_dir, args.epoch)
+    if args.prediction_type is not None:
+        preset = replace(preset, diffusion=replace(
+            preset.diffusion, prediction_type=args.prediction_type))
+    if args.norm is not None:
+        diff = preset.diffusion
+        preset = replace(preset, diffusion=replace(
+            diff, vqvae=replace(diff.vqvae, norm=args.norm)))
+    svc = GenerationService.from_checkpoint(preset, args.ckpt_dir,
+                                            args.epoch, ema=args.ema)
     server = serve(svc, args.host, args.port)
     print(f"serving {svc.name} (epoch {svc.epoch}) "
           f"on http://{args.host}:{args.port}")

@@ -174,3 +174,42 @@ def test_guidance_scale_quantized():
         s.generate(num=1, context=0, guidance_scale=21.0)
     with pytest.raises(ValueError):
         s.generate(num=1, context=0, guidance_scale=-0.5)
+
+
+def test_from_checkpoint_restores_flagship_recipe(tmp_path):
+    """Serving the round-3 flagship recipe: a checkpoint trained with
+    --ema_decay + --prediction_type v + --cfg_dropout restores through
+    GenerationService.from_checkpoint(ema=True) (template carries the
+    ema_params subtree) and serves guided requests."""
+    import dataclasses
+
+    from ldm3d.core.config import ExperimentConfig, DataConfig
+    from ldm3d.train.checkpoint import CheckpointManager
+
+    cfg = _flagship_cfg(tiny=True)
+    cfg = dataclasses.replace(
+        cfg, prediction_type="v", min_snr_gamma=5.0,
+        unet=dataclasses.replace(cfg.unet, cfg_dropout=0.25))
+    tcfg = TrainConfig(batch_size=2, dtype="float32", ema_decay=0.9)
+    trainer = DiffusionTrainer(cfg, tcfg, conditional=True)
+    state = trainer.init_state(jax.random.PRNGKey(0), (2, 16, 16, 16, 1))
+    vol = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 16, 1))
+    import jax.numpy as jnp
+    state, _ = trainer.train_step(state, vol, jnp.ones((2,), jnp.int32))
+    assert state.ema_params is not None
+
+    ckpt_dir = str(tmp_path / "dm")
+    mgr = CheckpointManager(ckpt_dir)
+    mgr.save(1, state)
+    mgr.wait()
+    mgr.close()
+
+    exp = ExperimentConfig(name="tiny_flagship", model="conditional_dm",
+                           vqvae=cfg.vqvae, diffusion=cfg,
+                           train=tcfg, data=DataConfig(volume_size=16))
+    svc = GenerationService.from_checkpoint(exp, ckpt_dir, ema=True)
+    assert svc.epoch == 1
+    assert svc.state.ema_params is not None
+    v = svc.generate(num=1, context=1, sampler="ddim", sample_steps=2,
+                     guidance_scale=2.0)
+    assert v.shape == (1, 16, 16, 16, 1) and np.isfinite(v).all()

@@ -29,12 +29,21 @@ if [ -f "$GAN" ]; then
     --png reports/quality_r3/vqgan_curves.png
 fi
 
+# queue7 moves the eps flagship aside (runs/ckpt_flagship_eps) and
+# retrains runs/ckpt_flagship with the v-pred + min-SNR + CFG recipe; the
+# comparison labels follow whichever layout is on disk.
 DM1000=runs/ckpt_flagship/flagship_dm/training.log
+DM1000_EPS=runs/ckpt_flagship_eps/flagship_dm/training.log
 DM500=runs/ckpt_dm_t500/dm500_dm/training.log
 DMV=runs/ckpt_dm_vpred/dmv_dm/training.log
 SPECS=()
 [ -f "$DM500" ] && SPECS+=("T500-eps=$DM500")
-[ -f "$DM1000" ] && SPECS+=("T1000-eps=$DM1000")
+if [ -f "$DM1000_EPS" ]; then
+  SPECS+=("T1000-eps=$DM1000_EPS")
+  [ -f "$DM1000" ] && SPECS+=("T1000-vpred-cfg-flagship=$DM1000")
+else
+  [ -f "$DM1000" ] && SPECS+=("T1000-eps=$DM1000")
+fi
 [ -f "$DMV" ] && SPECS+=("T1000-vpred-minSNR5=$DMV")
 if [ ${#SPECS[@]} -gt 0 ]; then
   echo "== dm comparison (${#SPECS[@]} runs)"
