@@ -91,6 +91,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="epochs before the discriminator/adversarial "
                         "losses activate (reference "
                         "main_exp_vqgan_attn.py:329)")
+    p.add_argument("--adaptive_gan_weight", action="store_true",
+                   default=None,
+                   help="scale the generator adversarial term by the "
+                        "VQGAN-paper adaptive lambda = "
+                        "||grad_rec||/||grad_adv|| (stabilizes the "
+                        "adversarial phase; beyond-reference)")
+    p.add_argument("--disc_lr", type=float, default=None,
+                   help="discriminator Adam learning rate (defaults to "
+                        "TrainConfig.disc_learning_rate)")
     p.add_argument("--auto_resume", type=int, default=0, metavar="N",
                    help="on a training crash, restore the latest "
                         "checkpoint and resume, up to N times (the "
@@ -138,6 +147,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference lacks); 0 disables")
     p.add_argument("--fidelity_samples", type=int, default=64,
                    help="generated samples per fidelity eval")
+    p.add_argument("--fidelity_by_class", action="store_true",
+                   help="conditional models: also report per-class FID "
+                        "(ctx=c samples vs the ctx=c real slice vs the "
+                        "other classes' slice) from the same generated "
+                        "samples — the acceptance test for conditioning "
+                        "strength (reports/quality_r3/context_effect.md). "
+                        "Applies to --fidelity_freq and --fidelity_sweep")
     p.add_argument("--fidelity_sweep", action="store_true",
                    help="restore the trained DM checkpoint and score "
                         "latent-FID/kernel-MMD over a sampler x guidance "
@@ -191,6 +207,8 @@ def apply_overrides(cfg, args):
     train = cfg.train
     if args.lr is not None:
         train = replace(train, learning_rate=args.lr)
+    if getattr(args, "disc_lr", None) is not None:
+        train = replace(train, disc_learning_rate=args.disc_lr)
     if args.epochs is not None:
         train = replace(train, epochs=args.epochs)
     if args.lbs is not None:
@@ -257,6 +275,9 @@ def apply_overrides(cfg, args):
     if args.disc_threshold is not None:
         cfg = replace(cfg, vqgan=replace(cfg.vqgan,
                                          disc_threshold=args.disc_threshold))
+    if getattr(args, "adaptive_gan_weight", None):
+        cfg = replace(cfg, vqgan=replace(cfg.vqgan,
+                                         adaptive_g_weight=True))
 
     if args.ckpt_dir is not None:
         cfg = replace(cfg, ckpt_dir=args.ckpt_dir)
@@ -523,9 +544,14 @@ def run_train_dm(cfg, args):
         # real-corpus features once, from the frozen stage-1 encoder (they
         # never change during stage-2 training); held-out volumes when a
         # val split exists, else the train set
-        feats = [trainer.latent_features(state, batch[0])
-                 for batch in (val_loader or train_loader)]
+        feats, ctx_rows = [], []
+        for batch in (val_loader or train_loader):
+            feats.append(trainer.latent_features(state, batch[0]))
+            ctx_rows.append(np.asarray(batch[2]).reshape(-1))
         real_feats = np.concatenate(feats, axis=0)
+        real_ctx = (np.concatenate(ctx_rows, axis=0)
+                    if args.fidelity_by_class and trainer.conditional
+                    else None)
         print(f"fidelity: cached {real_feats.shape[0]} real-volume "
               f"feature rows ({'val' if val_loader else 'train'} split)")
 
@@ -537,9 +563,13 @@ def run_train_dm(cfg, args):
                     jax.random.PRNGKey(cfg.train.seed), 5000 + epoch),
                 num_samples=args.fidelity_samples,
                 batch=min(args.fidelity_samples, 16),
-                sampler="ddim", sample_steps=args.sample_steps)
-            return {"latent_fid": scores["latent_fid"],
-                    "latent_mmd": scores["latent_mmd"]}
+                sampler="ddim", sample_steps=args.sample_steps,
+                real_ctx=real_ctx)
+            out = {"latent_fid": scores["latent_fid"],
+                   "latent_mmd": scores["latent_mmd"]}
+            if "fid_class_sep" in scores:
+                out["fid_class_sep"] = scores["fid_class_sep"]
+            return out
 
     if args.cache_latents:
         # One frozen-encoder pass over the corpus, then the whole stage-2
@@ -664,10 +694,16 @@ def run_fidelity_sweep(cfg, args):
           f"prediction={cfg.diffusion.prediction_type})")
 
     train_loader, val_loader = _loaders(cfg, args, mesh=mesh)
-    feats = [trainer.latent_features(state, batch[0])
-             for batch in (val_loader or train_loader)]
+    feats, ctx_rows = [], []
+    for batch in (val_loader or train_loader):
+        feats.append(trainer.latent_features(state, batch[0]))
+        ctx_rows.append(np.asarray(batch[2]).reshape(-1))
     real_feats = np.concatenate(feats, axis=0)
-    print(f"cached {real_feats.shape[0]} real-volume feature rows")
+    real_ctx = (np.concatenate(ctx_rows, axis=0)
+                if args.fidelity_by_class and trainer.conditional else None)
+    print(f"cached {real_feats.shape[0]} real-volume feature rows"
+          + (f" (per-class: {np.bincount(real_ctx.astype(int)).tolist()})"
+             if real_ctx is not None else ""))
 
     samplers = []
     for entry in args.sweep_samplers.split(","):
@@ -692,7 +728,7 @@ def run_fidelity_sweep(cfg, args):
                     num_samples=args.fidelity_samples,
                     batch=min(args.fidelity_samples, 16),
                     sampler=sampler, sample_steps=steps,
-                    guidance_scale=g)
+                    guidance_scale=g, real_ctx=real_ctx)
             except ValueError as e:  # e.g. guidance without cfg_dropout
                 print(f"skip {sampler}:{steps} g={g}: {e}")
                 continue
@@ -701,6 +737,9 @@ def run_fidelity_sweep(cfg, args):
                    "latent_fid": round(float(scores["latent_fid"]), 3),
                    "latent_mmd": round(float(scores["latent_mmd"]), 4),
                    "eval_seconds": round(dt, 1)}
+            for k, v in scores.items():
+                if k.startswith("fid_"):
+                    row[k] = round(float(v), 3)
             rows.append(row)
             print(row, flush=True)
 
@@ -711,18 +750,30 @@ def run_fidelity_sweep(cfg, args):
                    "prediction_type": cfg.diffusion.prediction_type,
                    "num_samples": args.fidelity_samples, "rows": rows},
                   f, indent=1)
+    by_class = any("fid_class_sep" in r for r in rows)
+    extra_hdr = (" FID same(c0/c1) | FID cross(c0/c1) | class sep |"
+                 if by_class else "")
     lines = [f"# Fidelity sweep — {cfg.name} (epoch {epoch}, "
              f"T={cfg.diffusion.timesteps}, "
              f"{cfg.diffusion.prediction_type}-prediction, "
              f"{args.fidelity_samples} samples/cell)", "",
-             "| sampler | steps | guidance | latent-FID | kernel-MMD "
-             "| eval s |", "|---|---|---|---|---|---|"]
+             "| sampler | steps | guidance | latent-FID | kernel-MMD |"
+             + extra_hdr + " eval s |",
+             "|---|---|---|---|---|" + ("---|---|---|" if by_class else "")
+             + "---|"]
     for r in rows:
+        extra = ""
+        if by_class:
+            extra = (f" {r.get('fid_same_c0', '—')}/"
+                     f"{r.get('fid_same_c1', '—')} "
+                     f"| {r.get('fid_cross_c0', '—')}/"
+                     f"{r.get('fid_cross_c1', '—')} "
+                     f"| {r.get('fid_class_sep', '—')} |")
         lines.append(
             f"| {r['sampler']} | {r['steps'] or 'T'} "
             f"| {r['guidance'] if r['guidance'] is not None else '—'} "
-            f"| {r['latent_fid']} | {r['latent_mmd']} "
-            f"| {r['eval_seconds']} |")
+            f"| {r['latent_fid']} | {r['latent_mmd']} |"
+            + extra + f" {r['eval_seconds']} |")
     with open(base + ".md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote", base + ".md")

@@ -134,6 +134,14 @@ class VQGANConfig:
     recon_loss: str = "l1"             # attn_cp uses L1 (vqgan_attn_cp.py:714)
     frame_idx_range: Tuple[int, int] = (30, 120)  # random 2D frame slice range
     lpips_image_size: int = 128
+    # beyond-reference: VQGAN-paper adaptive generator weight
+    # lambda = ||grad_rec|| / (||grad_adv|| + eps) (Esser et al. 2021 eq. 7),
+    # computed at the generator output. The reference's fixed weights let
+    # the adversarial phase overpower reconstruction (observed: round-3
+    # fixed-weight run, reports/quality_r3/vqgan_report.md); opt in with
+    # --adaptive_gan_weight.
+    adaptive_g_weight: bool = False
+    adaptive_g_max: float = 1e4        # clip for lambda (paper uses 1e4)
 
 
 @dataclass(frozen=True)
@@ -156,6 +164,16 @@ class UNetConfig:
     # allocates one extra embedding row (null index = context_dim + 1) and
     # enables guidance_scale at sampling time
     cfg_dropout: float = 0.0
+    # beyond-reference conditioning strength lever: additionally ADD the
+    # context embedding to the time embedding (ADM-style class
+    # conditioning), so the token reaches every ResidualBlock's temb_proj
+    # instead of only the single-token cross-attention sites. Motivation:
+    # the reference-parity cross-attention-only path lets the denoiser
+    # ignore the token almost entirely on sparse class differences —
+    # measured |eps(c=0)-eps(c=1)|/|eps| <= 0.6% on the trained flagship
+    # (reports/quality_r3/context_effect.md). Opt in with
+    # --context_in_time.
+    context_in_time: bool = False
 
 
 @dataclass(frozen=True)

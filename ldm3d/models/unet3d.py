@@ -248,6 +248,15 @@ class UNet3D(nn.Module):
             n_tokens = cfg.context_dim + 1 + (1 if cfg.cfg_dropout > 0 else 0)
             cemb = nn.Embed(n_tokens, stem * 4, dtype=self.dtype,
                             name="context_embed")(context.astype(jnp.int32))
+            if cfg.context_in_time:
+                # ADM-style class conditioning: the summed embedding flows
+                # through every ResidualBlock's temb_proj, a much stronger
+                # injection point than the single-token cross-attention
+                # alone (which the trained flagship learned to ignore —
+                # reports/quality_r3/context_effect.md). Opt-in; the
+                # parameter tree is unchanged, so checkpoints trained
+                # either way stay interchangeable.
+                temb = temb + cemb.astype(temb.dtype)
 
         def attend(h, level, site):
             if conditional:

@@ -392,21 +392,34 @@ class DiffusionTrainer:
                       num_samples: int = 64, batch: int = 16,
                       sampler: str = "ddim",
                       sample_steps: Optional[int] = None,
-                      guidance_scale: Optional[float] = None) -> dict:
+                      guidance_scale: Optional[float] = None,
+                      real_ctx=None) -> dict:
         """Generate `num_samples` latent samples (split evenly over the
         context values for a conditional model) and score them against
         `real_feats` with latent-FID and kernel-MMD — the quantitative
         sample-fidelity measurement the reference lacks (its test() saves
-        10 volumes for eyeballing, dm3d.py:534-545)."""
+        10 volumes for eyeballing, dm3d.py:534-545).
+
+        With `real_ctx` (per-row context labels for `real_feats`, a
+        conditional model only), additionally reports per-class
+        conditional fidelity from the SAME generated samples (no extra
+        sampling): for each context value c, `fid_same_c{c}` = FID of the
+        ctx=c samples against the ctx=c real slice and `fid_cross_c{c}` =
+        against the other classes' slice, plus `fid_class_sep` = mean
+        (cross − same). A model that actually uses its token scores
+        same ≪ cross; unconditional collapse gives sep ≈ 0 — the
+        acceptance test for conditioning strength motivated by
+        reports/quality_r3/context_effect.md."""
         import numpy as np
 
-        from ldm3d.ops.fid import latent_fidelity, pool_latent_features
+        from ldm3d.ops.fid import (frechet_distance, latent_fidelity,
+                                   pool_latent_features)
 
         ls = self.cfg.latent_size
         shape = (batch, ls, ls, ls, self.cfg.latent_channels)
         contexts = [0, 1] if self.conditional else [None]
         per = max(num_samples // len(contexts), 1)
-        feats = []
+        feats_by_ctx = {c: [] for c in contexts}
         for c in contexts:
             done = 0
             while done < per:
@@ -416,9 +429,29 @@ class DiffusionTrainer:
                                      sample_steps=sample_steps,
                                      guidance_scale=guidance_scale)
                 n = min(batch, per - done)
-                feats.append(pool_latent_features(lats[:n]))
+                feats_by_ctx[c].append(pool_latent_features(lats[:n]))
                 done += n
-        return latent_fidelity(real_feats, np.concatenate(feats, axis=0))
+        gen_all = np.concatenate(
+            [f for fs in feats_by_ctx.values() for f in fs], axis=0)
+        out = latent_fidelity(real_feats, gen_all)
+        if real_ctx is not None and self.conditional:
+            labels = np.asarray(real_ctx).reshape(-1)
+            real = np.asarray(real_feats)
+            seps = []
+            for c in contexts:
+                same = real[labels == c]
+                cross = real[labels != c]
+                if same.shape[0] < 2 or cross.shape[0] < 2:
+                    continue  # degenerate split: skip, don't crash the run
+                gen_c = np.concatenate(feats_by_ctx[c], axis=0)
+                f_same = frechet_distance(same, gen_c)
+                f_cross = frechet_distance(cross, gen_c)
+                out[f"fid_same_c{c}"] = f_same
+                out[f"fid_cross_c{c}"] = f_cross
+                seps.append(f_cross - f_same)
+            if seps:
+                out["fid_class_sep"] = float(np.mean(seps))
+        return out
 
     def generate(self, state: TrainState, rng, latent_shape,
                  context_value: Optional[int] = None, last_step: int = 0,

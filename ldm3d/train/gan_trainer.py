@@ -201,6 +201,8 @@ class GANTrainer:
                 "perceptual_loss": perceptual,
                 "perplexity": aux.perplexity,
             }
+            if cfg.adaptive_g_weight:
+                metrics["adaptive_weight"] = zero
             ae_loss = (recon_loss + aux.loss.astype(jnp.float32)
                        + cfg.lpips_wt * perceptual)
             metrics["loss"] = ae_loss
@@ -294,11 +296,48 @@ class GANTrainer:
                 fa.astype(jnp.float32)
                 - jax.lax.stop_gradient(fb).astype(jnp.float32)))
 
+        adv_w = jnp.asarray(cfg.g_loss_adv_wt, jnp.float32)
+        if cfg.adaptive_g_weight:
+            # VQGAN-paper adaptive generator weight (Esser et al. 2021
+            # eq. 7): lambda = ||grad_rec|| / (||grad_adv|| + eps) balances
+            # the adversarial push against the reconstruction pull. The
+            # paper differentiates w.r.t. the decoder's last-layer weights;
+            # differentiating at the generator OUTPUT is the shape-agnostic
+            # equivalent (same quantities up to that layer's Jacobian) and
+            # costs one extra backward through the critics instead of the
+            # whole decoder. The reference has no such control
+            # (vqgan_attn_cp.py:725-766 uses fixed weights) — this is the
+            # opt-in stabilizer for the adversarial phase.
+            r_sg = jax.lax.stop_gradient(img_recon)
+
+            def nll_of(r):
+                fr = r[jnp.arange(b), frame_idx]
+                rl = jnp.mean(jnp.abs(r - vol))
+                p = jnp.mean(self.lpips.apply(
+                    {"params": _sg_tree(params["lpips"])},
+                    f3, jnp.tile(fr, (1, 1, 1, 3))))
+                return rl + cfg.lpips_wt * p
+
+            def adv_of(r):
+                fr = r[jnp.arange(b), frame_idx]
+                fl, _ = self.disc3d.apply(d3_vars_g, r, training=False)
+                fl2, _ = self.disc2d.apply(d2_vars_g, fr, training=False)
+                if cfg.g_adv_style == "bce":
+                    return self.d_loss(True, fl) + self.d_loss(True, fl2)
+                return -jnp.mean(fl) - jnp.mean(fl2)
+
+            g_r = jax.grad(nll_of)(r_sg)
+            g_a = jax.grad(adv_of)(r_sg)
+            lam = (jnp.linalg.norm(g_r.ravel())
+                   / (jnp.linalg.norm(g_a.ravel()) + 1e-6))
+            adv_w = adv_w * jax.lax.stop_gradient(
+                jnp.clip(lam, 0.0, cfg.adaptive_g_max))
+
         ae_loss = (recon_loss
                    + aux.loss.astype(jnp.float32)
                    + cfg.lpips_wt * perceptual
                    + gate * (cfg.gan_feat_wt * feat_loss
-                             + cfg.g_loss_adv_wt * g_adv))
+                             + adv_w * g_adv))
 
         disc_loss = (self.d_loss(True, real_logits)
                      + self.d_loss(False, fake_logits)
@@ -323,6 +362,8 @@ class GANTrainer:
             "perceptual_loss": perceptual,
             "perplexity": aux.perplexity,
         }
+        if cfg.adaptive_g_weight:
+            metrics["adaptive_weight"] = gate * adv_w
         updates = {"vq_stats": ae_updates.get("vq_stats", state.vq_stats),
                    "batch_stats": new_batch_stats}
         return ae_loss + disc_loss, (metrics, updates, img_recon)

@@ -180,6 +180,24 @@ def test_cli_norm_override_propagates():
     assert cfg.diffusion.vqvae.norm == "batch"  # parity default untouched
 
 
+def test_cli_gan_flags_propagate():
+    # --adaptive_gan_weight / --disc_lr reach VQGANConfig / TrainConfig
+    from ldm3d.cli.main import apply_overrides, build_parser
+    from ldm3d.core.presets import get_preset
+
+    args = build_parser().parse_args(
+        ["--preset", "vqgan_attn", "--adaptive_gan_weight",
+         "--disc_lr", "1e-5"])
+    cfg = apply_overrides(get_preset("vqgan_attn"), args)
+    assert cfg.vqgan.adaptive_g_weight is True
+    assert cfg.train.disc_learning_rate == 1e-5
+    # defaults untouched without the flags
+    cfg = apply_overrides(
+        get_preset("vqgan_attn"),
+        build_parser().parse_args(["--preset", "vqgan_attn"]))
+    assert cfg.vqgan.adaptive_g_weight is False
+
+
 def test_dm_accepts_groupnorm_stage1_variables():
     """Regression: a GroupNorm stage-1 has no batch_stats collection;
     loading its weights into the DM (whose U-Net has BatchNorm, so the

@@ -94,3 +94,59 @@ def test_trainer_fidelity_eval_end_to_end():
     assert np.isfinite(scores["latent_mmd"])
     self_fid = frechet_distance(feats[:4], feats[4:])
     assert scores["latent_fid"] > self_fid
+
+
+def test_fidelity_eval_by_class_reports_separation():
+    """--fidelity_by_class: per-class FID from the SAME generated samples.
+    With real features whose classes are far apart, a generator that only
+    ever produces class-0-like features must score fid_same_c0 << 
+    fid_cross_c0; the keys and fid_class_sep must appear only when
+    real_ctx is given. Uses a monkeypatched `generate` so the geometry is
+    controlled exactly (the end-to-end path is covered by
+    test_trainer_fidelity_eval_end_to_end)."""
+    from ldm3d.train.dm_trainer import DiffusionTrainer
+    from tests.test_dm_trainer import tiny_diffusion_cfg, train_cfg
+
+    cfg = tiny_diffusion_cfg(conditional=True, timesteps=4)
+    tr = DiffusionTrainer(cfg, train_cfg(), conditional=True)
+    state = tr.init_state(jax.random.PRNGKey(0), (2, 16, 16, 16, 1))
+
+    rng = np.random.default_rng(0)
+    d = 2 * cfg.latent_channels
+    real0 = gaussian(rng, 32, d, mu=0.0, sigma=0.05)
+    real10 = gaussian(rng, 32, d, mu=10.0, sigma=0.05)
+    real_feats = np.concatenate([real0, real10], axis=0)
+    real_ctx = np.concatenate([np.zeros(32), np.ones(32)])
+
+    ls, lc = cfg.latent_size, cfg.latent_channels
+
+    def fake_generate(state, sub, shape, context_value=None, **kw):
+        # constant latents -> pooled features (mean=v, std=0); both
+        # contexts emit class-0-like features (v=0): conditioning is OFF
+        return jax.numpy.zeros(shape)
+
+    tr.generate = fake_generate
+    scores = tr.fidelity_eval(state, real_feats, jax.random.PRNGKey(1),
+                              num_samples=8, batch=4, real_ctx=real_ctx)
+    # class-0 samples near the class-0 slice, far from class-1
+    assert scores["fid_same_c0"] < 1.0
+    assert scores["fid_cross_c0"] > 50.0
+    # "class-1" samples are ALSO class-0-like: same >> cross asymmetry
+    assert scores["fid_same_c1"] > 50.0
+    assert scores["fid_cross_c1"] < 1.0
+    # net separation ~0: (cross0-same0) + (cross1-same1) cancels
+    assert abs(scores["fid_class_sep"]) < 5.0
+
+    # a generator that RESPECTS the token: emit mean-10 features for c=1
+    def cond_generate(state, sub, shape, context_value=None, **kw):
+        return jax.numpy.full(shape, 10.0 * float(context_value or 0))
+
+    tr.generate = cond_generate
+    s2 = tr.fidelity_eval(state, real_feats, jax.random.PRNGKey(1),
+                          num_samples=8, batch=4, real_ctx=real_ctx)
+    assert s2["fid_class_sep"] > 50.0  # cross >> same for both classes
+
+    # without real_ctx the per-class keys must be absent
+    s3 = tr.fidelity_eval(state, real_feats, jax.random.PRNGKey(1),
+                          num_samples=8, batch=4)
+    assert not any(k.startswith("fid_") for k in s3)

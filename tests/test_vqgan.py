@@ -274,3 +274,42 @@ def test_gan_train_step_auto_warm_dispatch():
     state, m = trainer.train_step(state, vol, mask)
     assert set(trainer._train_steps) == {True, False}
     assert float(m["disc_loss"]) != 0.0
+
+
+def test_adaptive_gan_weight_scales_adversarial_term():
+    """--adaptive_gan_weight: lambda = ||grad_rec||/||grad_adv|| at the
+    generator output (Esser et al. 2021 eq. 7) multiplies the adversarial
+    term. Post-threshold it must be finite, positive, clipped to
+    adaptive_g_max, and independent of g_loss_adv_wt; in warm-up it
+    reports zero. (Beyond-reference stabilizer: the reference's fixed
+    weights, vqgan_attn_cp.py:725-766, let the adversarial phase diverge —
+    reports/quality_r3/vqgan_report.md.)"""
+    from ldm3d.core.config import replace
+
+    cfg = replace(tiny_gan_cfg(disc_threshold=0), adaptive_g_weight=True)
+    trainer = GANTrainer(cfg, train_cfg())
+    vol, mask, _ = synthetic_batch(jax.random.PRNGKey(0), 2, 16)
+    state = trainer.init_state(jax.random.PRNGKey(1), (2, 16, 16, 16, 2))
+    state, m = trainer.train_step(state, vol, mask)
+    lam = float(m["adaptive_weight"])
+    assert np.isfinite(lam) and 0.0 < lam <= cfg.adaptive_g_max
+    assert np.isfinite(float(m["loss"]))
+    for leaf in jax.tree_util.tree_leaves(state.params["ae"]):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+    # lambda is a property of the gradients, not of g_loss_adv_wt: with the
+    # same init/rng but a doubled static weight, the reported
+    # adaptive_weight (= g_loss_adv_wt * lambda) must exactly double.
+    cfg2 = replace(cfg, g_loss_adv_wt=2.0 * cfg.g_loss_adv_wt)
+    tr2 = GANTrainer(cfg2, train_cfg())
+    st2 = tr2.init_state(jax.random.PRNGKey(1), (2, 16, 16, 16, 2))
+    _, m2 = tr2.train_step(st2, vol, mask)
+    np.testing.assert_allclose(float(m2["adaptive_weight"]), 2.0 * lam,
+                               rtol=1e-5)
+
+    # warm program: no critics run, metric is zero
+    cfg_w = replace(tiny_gan_cfg(disc_threshold=5), adaptive_g_weight=True)
+    tr_w = GANTrainer(cfg_w, train_cfg())
+    st_w = tr_w.init_state(jax.random.PRNGKey(1), (2, 16, 16, 16, 2))
+    _, mw = tr_w.train_step(st_w, vol, mask)
+    assert float(mw["adaptive_weight"]) == 0.0
