@@ -147,6 +147,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference lacks); 0 disables")
     p.add_argument("--fidelity_samples", type=int, default=64,
                    help="generated samples per fidelity eval")
+    p.add_argument("--context_in_time", action="store_true",
+                   default=None,
+                   help="conditional U-Net: ALSO add the context embedding "
+                        "to the time embedding (ADM-style), reaching every "
+                        "ResidualBlock instead of only the cross-attention "
+                        "sites — the conditioning-strength lever motivated "
+                        "by reports/quality_r3/context_effect.md. Parameter "
+                        "tree is unchanged; pass the same flag at sampling/"
+                        "serve time")
     p.add_argument("--fidelity_by_class", action="store_true",
                    help="conditional models: also report per-class FID "
                         "(ctx=c samples vs the ctx=c real slice vs the "
@@ -266,6 +275,8 @@ def apply_overrides(cfg, args):
     if getattr(args, "cfg_dropout", None) is not None:
         diff = replace(diff, unet=replace(diff.unet,
                                           cfg_dropout=args.cfg_dropout))
+    if getattr(args, "context_in_time", None):
+        diff = replace(diff, unet=replace(diff.unet, context_in_time=True))
     if getattr(args, "prediction_type", None) is not None:
         diff = replace(diff, prediction_type=args.prediction_type)
     if getattr(args, "min_snr_gamma", None) is not None:

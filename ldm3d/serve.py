@@ -254,6 +254,13 @@ def main(argv=None):
                     help="set to the --prediction_type the checkpoint "
                          "was trained with so sampling converts the "
                          "model output correctly")
+    ap.add_argument("--context_in_time", action="store_true",
+                    help="checkpoint was trained with --context_in_time: "
+                         "sampling must route the context embedding "
+                         "through the time embedding the same way (the "
+                         "parameter tree is identical either way, so a "
+                         "wrong setting restores fine but samples from "
+                         "the weaker conditioning path)")
     ap.add_argument("--ema", action="store_true",
                     help="checkpoint was trained with --ema_decay > 0: "
                          "restore (and sample from) the EMA weights")
@@ -275,6 +282,10 @@ def main(argv=None):
     if args.prediction_type is not None:
         preset = replace(preset, diffusion=replace(
             preset.diffusion, prediction_type=args.prediction_type))
+    if args.context_in_time:
+        diff = preset.diffusion
+        preset = replace(preset, diffusion=replace(
+            diff, unet=replace(diff.unet, context_in_time=True)))
     if args.norm is not None:
         diff = preset.diffusion
         preset = replace(preset, diffusion=replace(

@@ -238,3 +238,17 @@ def test_dm_accepts_groupnorm_stage1_variables():
     vol = jax.random.uniform(jax.random.PRNGKey(2), (2, 16, 16, 16, 1))
     state, m = tr.train_step(state, vol, jnp.zeros((2,), jnp.int32))
     assert jnp.isfinite(m["loss"])
+
+
+def test_cli_context_in_time_propagates():
+    from ldm3d.cli.main import apply_overrides, build_parser
+    from ldm3d.core.presets import get_preset
+
+    args = build_parser().parse_args(
+        ["--preset", "conditional_dm3d", "--context_in_time"])
+    cfg = apply_overrides(get_preset("conditional_dm3d"), args)
+    assert cfg.diffusion.unet.context_in_time is True
+    cfg = apply_overrides(
+        get_preset("conditional_dm3d"),
+        build_parser().parse_args(["--preset", "conditional_dm3d"]))
+    assert cfg.diffusion.unet.context_in_time is False

@@ -354,3 +354,57 @@ def test_v_prediction_loss_differs_from_eps_only_in_target():
         vol = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 16, 1))
         state, m = tr.train_step(state, vol, jnp.zeros((2,), jnp.int32))
         assert np.isfinite(float(m["loss"])), (ptype, gamma)
+
+
+def test_context_in_time_strengthens_conditioning():
+    """UNetConfig.context_in_time (beyond-reference, opt-in): adding the
+    context embedding to the time embedding must (a) leave the parameter
+    tree unchanged — checkpoints trained either way stay interchangeable —
+    and (b) make the output strictly more context-sensitive than the
+    reference-parity cross-attention-only path, whose measured effect on
+    the trained flagship was <=0.6% (reports/quality_r3/context_effect.md)."""
+    from ldm3d.core.config import replace as cfg_replace
+
+    base = UNetConfig(widths=(8, 16), has_attention=(False, True),
+                      num_res_blocks=1, first_conv_channels=8,
+                      context_dim=1, norm="batch", attention_impl="xla")
+    m_off = UNet3D(base, out_channels=4, dtype=jnp.float32)
+    m_on = UNet3D(cfg_replace(base, context_in_time=True),
+                  out_channels=4, dtype=jnp.float32)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 8, 4))
+    t = jnp.zeros((2,), jnp.int32)
+    ctx0 = jnp.zeros((2,), jnp.int32)
+    ctx1 = jnp.ones((2,), jnp.int32)
+    var = m_off.init({"params": jax.random.PRNGKey(0)}, x, t, ctx0,
+                     training=False)
+    var_on = m_on.init({"params": jax.random.PRNGKey(0)}, x, t, ctx0,
+                       training=False)
+    # (a) identical parameter trees
+    assert (jax.tree_util.tree_structure(var)
+            == jax.tree_util.tree_structure(var_on))
+    for a, b in zip(jax.tree_util.tree_leaves(var),
+                    jax.tree_util.tree_leaves(var_on)):
+        assert a.shape == b.shape
+
+    # De-zero every zero-init kernel (head, ResidualBlock conv2, attention
+    # out-projections): at init those parity-matched zeros swallow the
+    # whole temb pathway, so neither conditioning route is observable.
+    leaves, treedef = jax.tree_util.tree_flatten(var)
+    key = jax.random.PRNGKey(5)
+    new_leaves = []
+    for leaf in leaves:
+        if leaf.ndim >= 2 and float(jnp.max(jnp.abs(leaf))) == 0.0:
+            key, sub = jax.random.split(key)
+            leaf = 0.01 * jax.random.normal(sub, leaf.shape, leaf.dtype)
+        new_leaves.append(leaf)
+    var = jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+    def sensitivity(model):
+        o0 = model.apply(var, x, t, ctx0, training=False)
+        o1 = model.apply(var, x, t, ctx1, training=False)
+        return float(jnp.linalg.norm(o0 - o1) / (jnp.linalg.norm(o0) + 1e-12))
+
+    s_off, s_on = sensitivity(m_off), sensitivity(m_on)
+    # (b) same weights, strictly stronger context pathway
+    assert s_on > 2.0 * s_off, (s_off, s_on)
