@@ -147,6 +147,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference lacks); 0 disables")
     p.add_argument("--fidelity_samples", type=int, default=64,
                    help="generated samples per fidelity eval")
+    p.add_argument("--latent_scale", type=float, default=None,
+                   help="SD-style scale_factor: multiply the frozen "
+                        "encoder's latents before diffusion, divide "
+                        "before decode (pick ~1/std of the corpus "
+                        "latents — printed by --cache_latents). A "
+                        "train-time invariant: restore/serve with the "
+                        "same value. Default 1.0 = reference behavior")
+    p.add_argument("--clip_sample_range", type=float, default=None,
+                   help="half-width of the samplers' mean/x0 clipping "
+                        "interval (reference hard-codes 1.0, dm3d.py:529, "
+                        "wrong when latents exceed [-1,1]); <= 0 disables "
+                        "clipping")
     p.add_argument("--context_in_time", action="store_true",
                    default=None,
                    help="conditional U-Net: ALSO add the context embedding "
@@ -169,9 +181,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "grid (--sweep_samplers x --guidance_grid); "
                         "writes a markdown + JSON report to --out_dir")
     p.add_argument("--sweep_samplers", default="ddpm,ddim:50,dpmpp:25",
-                   help="comma list of sampler[:steps] entries for "
+                   help="comma list of sampler[:steps[:eta]] entries for "
                         "--fidelity_sweep (steps default: full T for "
-                        "ddpm, T//20 for ddim/dpmpp)")
+                        "ddpm, T//20 for ddim/dpmpp; ddim:50:1.0 = "
+                        "stochastic DDIM, the few-step diversity lever)")
     p.add_argument("--guidance_grid", default="none",
                    help="comma list of guidance scales for "
                         "--fidelity_sweep; 'none' = no classifier-free "
@@ -281,6 +294,10 @@ def apply_overrides(cfg, args):
         diff = replace(diff, prediction_type=args.prediction_type)
     if getattr(args, "min_snr_gamma", None) is not None:
         diff = replace(diff, min_snr_gamma=args.min_snr_gamma)
+    if getattr(args, "latent_scale", None) is not None:
+        diff = replace(diff, latent_scale=args.latent_scale)
+    if getattr(args, "clip_sample_range", None) is not None:
+        diff = replace(diff, clip_sample_range=args.clip_sample_range)
     cfg = replace(cfg, diffusion=diff)
 
     if args.disc_threshold is not None:
@@ -606,10 +623,15 @@ def run_train_dm(cfg, args):
         ctx_all = jnp.concatenate(ctxs, axis=0)
         train_loader = LatentLoader(lat_all, ctx_all, cfg.train.batch_size,
                                     seed=cfg.train.seed, mesh=mesh)
+        lat_std = float(jnp.std(lat_all.astype(jnp.float32)))
         print(f"cache_latents: {lat_all.shape[0]} latents "
               f"{tuple(lat_all.shape[1:])} resident on device "
               f"({lat_all.nbytes / 1e6:.0f} MB, encoded in "
-              f"{time.time() - t0:.1f}s)")
+              f"{time.time() - t0:.1f}s); latent std "
+              f"{lat_std:.4f} in diffusion space (latent_scale "
+              f"{cfg.diffusion.latent_scale:g} applied) — for "
+              f"unit-variance latents train with --latent_scale "
+              f"{cfg.diffusion.latent_scale / max(lat_std, 1e-8):.4f}")
 
         def step_fn(state, batch):  # noqa: F811 - replaces the volume path
             lat, ctx = batch
@@ -721,15 +743,20 @@ def run_fidelity_sweep(cfg, args):
         entry = entry.strip()
         if not entry:
             continue
-        name, _, steps = entry.partition(":")
-        samplers.append((name, int(steps) if steps else None))
+        parts = entry.split(":")
+        name = parts[0]
+        steps = int(parts[1]) if len(parts) > 1 and parts[1] else None
+        # third field: DDIM eta (ddim:50:1.0 = stochastic DDIM, the
+        # few-step-DDPM diversity lever; deterministic eta=0 default)
+        eta = float(parts[2]) if len(parts) > 2 and parts[2] else 0.0
+        samplers.append((name, steps, eta))
     guidances = []
     for g in args.guidance_grid.split(","):
         g = g.strip().lower()
         guidances.append(None if g in ("", "none", "0") else float(g))
 
     rows = []
-    for sampler, steps in samplers:
+    for sampler, steps, eta in samplers:
         for g in guidances:
             t0 = time.perf_counter()
             try:
@@ -738,13 +765,14 @@ def run_fidelity_sweep(cfg, args):
                     jax.random.PRNGKey(cfg.train.seed + 9000),
                     num_samples=args.fidelity_samples,
                     batch=min(args.fidelity_samples, 16),
-                    sampler=sampler, sample_steps=steps,
+                    sampler=sampler, sample_steps=steps, eta=eta,
                     guidance_scale=g, real_ctx=real_ctx)
             except ValueError as e:  # e.g. guidance without cfg_dropout
                 print(f"skip {sampler}:{steps} g={g}: {e}")
                 continue
             dt = time.perf_counter() - t0
-            row = {"sampler": sampler, "steps": steps, "guidance": g,
+            name = sampler if not eta else f"{sampler}(eta={eta:g})"
+            row = {"sampler": name, "steps": steps, "guidance": g,
                    "latent_fid": round(float(scores["latent_fid"]), 3),
                    "latent_mmd": round(float(scores["latent_mmd"]), 4),
                    "eval_seconds": round(dt, 1)}

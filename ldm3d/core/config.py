@@ -196,6 +196,20 @@ class DiffusionConfig:
     # timestep weight at SNR=gamma so easy high-SNR steps don't dominate;
     # None disables (reference behavior)
     min_snr_gamma: Optional[float] = None
+    # beyond-reference sampling-space controls. Both are train-time
+    # invariants of a checkpoint — restore with the same values.
+    # latent_scale multiplies the frozen encoder's latents before
+    # diffusion and divides before decode (Rombach et al. 2022's
+    # scale_factor: unit-variance latents match the N(0,1) prior the
+    # reverse process starts from). 1.0 = reference behavior (raw
+    # quantized-codebook range). --cache_latents prints the corpus
+    # latent std so 1/std can be chosen.
+    latent_scale: float = 1.0
+    # Half-width of the samplers' clipping interval for posterior means
+    # and x0 predictions. The reference hard-codes 1.0 (dm3d.py:529),
+    # which silently biases sampling whenever latents exceed [-1,1] —
+    # nothing bounds the quantized codebook. <= 0 disables clipping.
+    clip_sample_range: float = 1.0
     unet: UNetConfig = field(default_factory=UNetConfig)
     # frozen stage-1 autoencoder config (reference builds a 4-level VQVAE
     # inline at dm3d.py:386-409: K=1024, D=256, 1-channel)

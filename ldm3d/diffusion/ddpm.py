@@ -43,18 +43,23 @@ def diffusion_train_loss(sched: Schedule, latents: jax.Array,
 
 def ddpm_sample_step(sched: Schedule, x: jax.Array, pred_noise: jax.Array,
                      t: jax.Array, noise: jax.Array,
-                     clip_mean: bool = True) -> jax.Array:
+                     clip_mean: bool = True,
+                     clip_value: float = 1.0) -> jax.Array:
     """One reverse step (reference dm3d.py:527-530): posterior mean clipped
-    to [-1, 1], plus sqrt(var) * noise (noise pre-zeroed at t == 0)."""
+    to [-clip_value, clip_value], plus sqrt(var) * noise (noise pre-zeroed
+    at t == 0). clip_value <= 0 disables the clip — the reference's
+    hard-coded 1.0 assumes latents live in [-1,1], which nothing about the
+    quantized codebook guarantees (DiffusionConfig.clip_sample_range)."""
     mean, var = posterior(sched, x, pred_noise, t)
-    if clip_mean:
-        mean = jnp.clip(mean, -1.0, 1.0)
+    if clip_mean and clip_value > 0:
+        mean = jnp.clip(mean, -clip_value, clip_value)
     std = jnp.exp(0.5 * jnp.log(jnp.maximum(var, 1e-20)))
     return mean + std * noise
 
 
 def sample_latents(sched: Schedule, denoise_fn: Callable, shape, rng,
                    last_step: int = 0, clip_mean: bool = True,
+                   clip_value: float = 1.0,
                    dtype=jnp.float32) -> jax.Array:
     """Full reverse process as one `lax.scan` (replaces dm3d.py:510-532).
 
@@ -77,7 +82,7 @@ def sample_latents(sched: Schedule, denoise_fn: Callable, shape, rng,
         noise = jax.random.normal(sub, shape, jnp.float32)
         noise = jnp.where(t > 0, noise, jnp.zeros_like(noise))
         x = ddpm_sample_step(sched, x.astype(jnp.float32), eps, t_batch,
-                             noise, clip_mean).astype(dtype)
+                             noise, clip_mean, clip_value).astype(dtype)
         return (x, rng), None
 
     (x, _), _ = jax.lax.scan(step, (x0, loop_rng), ts)
@@ -86,7 +91,7 @@ def sample_latents(sched: Schedule, denoise_fn: Callable, shape, rng,
 
 def sample_latents_ddim(sched: Schedule, denoise_fn: Callable, shape, rng,
                         num_steps: int = 50, eta: float = 0.0,
-                        clip_x0: bool = True,
+                        clip_x0: bool = True, clip_value: float = 1.0,
                         dtype=jnp.float32) -> jax.Array:
     """DDIM sampler (Song et al. 2021) over a strided timestep subsequence —
     a beyond-reference fast path: 20-50x fewer U-Net evaluations than the
@@ -117,8 +122,8 @@ def sample_latents_ddim(sched: Schedule, denoise_fn: Callable, shape, rng,
                          jnp.full((b,), t, jnp.int32)).astype(jnp.float32)
         xf = x.astype(jnp.float32)
         x0_pred = (xf - jnp.sqrt(1.0 - ab_t) * eps) / jnp.sqrt(ab_t)
-        if clip_x0:
-            x0_pred = jnp.clip(x0_pred, -1.0, 1.0)
+        if clip_x0 and clip_value > 0:
+            x0_pred = jnp.clip(x0_pred, -clip_value, clip_value)
         sigma = (eta * jnp.sqrt((1.0 - ab_p) / (1.0 - ab_t))
                  * jnp.sqrt(1.0 - ab_t / ab_p))
         dir_xt = jnp.sqrt(jnp.maximum(1.0 - ab_p - sigma ** 2, 0.0)) * eps
@@ -133,6 +138,7 @@ def sample_latents_ddim(sched: Schedule, denoise_fn: Callable, shape, rng,
 
 def sample_latents_dpmpp(sched: Schedule, denoise_fn: Callable, shape, rng,
                          num_steps: int = 20, clip_x0: bool = True,
+                         clip_value: float = 1.0,
                          dtype=jnp.float32) -> jax.Array:
     """DPM-Solver++(2M) (Lu et al. 2022): deterministic second-order
     multistep ODE solver in data-prediction form — measurably more accurate
@@ -178,8 +184,8 @@ def sample_latents_dpmpp(sched: Schedule, denoise_fn: Callable, shape, rng,
                          jnp.full((b,), t, jnp.int32)).astype(jnp.float32)
         xf = x.astype(jnp.float32)
         d = (xf - s_c * eps) / a_c             # x0 prediction
-        if clip_x0:
-            d = jnp.clip(d, -1.0, 1.0)
+        if clip_x0 and clip_value > 0:
+            d = jnp.clip(d, -clip_value, clip_value)
         h = l_n - l_c
         r = h_prev / h
         # 2M extrapolation through the previous x0 prediction; first step

@@ -254,6 +254,13 @@ def main(argv=None):
                     help="set to the --prediction_type the checkpoint "
                          "was trained with so sampling converts the "
                          "model output correctly")
+    ap.add_argument("--latent_scale", type=float, default=None,
+                    help="the --latent_scale the checkpoint was trained "
+                         "with (SD-style scale_factor; wrong values "
+                         "decode from the wrong latent magnitude)")
+    ap.add_argument("--clip_sample_range", type=float, default=None,
+                    help="samplers' mean/x0 clipping half-width "
+                         "(<= 0 disables; default 1.0 reference parity)")
     ap.add_argument("--context_in_time", action="store_true",
                     help="checkpoint was trained with --context_in_time: "
                          "sampling must route the context embedding "
@@ -286,6 +293,12 @@ def main(argv=None):
         diff = preset.diffusion
         preset = replace(preset, diffusion=replace(
             diff, unet=replace(diff.unet, context_in_time=True)))
+    if args.latent_scale is not None:
+        preset = replace(preset, diffusion=replace(
+            preset.diffusion, latent_scale=args.latent_scale))
+    if args.clip_sample_range is not None:
+        preset = replace(preset, diffusion=replace(
+            preset.diffusion, clip_sample_range=args.clip_sample_range))
     if args.norm is not None:
         diff = preset.diffusion
         preset = replace(preset, diffusion=replace(

@@ -49,8 +49,12 @@ class LatentDiffusion(nn.Module):
 
     def encode_latents(self, images: jax.Array) -> jax.Array:
         """images -> quantized latents with the frozen stage-1 model
-        (reference conditional_dm3d.py:476)."""
+        (reference conditional_dm3d.py:476), times cfg.latent_scale —
+        the SD-style scale_factor normalizing the diffusion space toward
+        the N(0,1) prior (1.0 = reference behavior)."""
         q, _ = self.vqvae.encode_quantize(images, training=False)
+        if self.cfg.latent_scale != 1.0:
+            q = q * jnp.asarray(self.cfg.latent_scale, q.dtype)
         return q
 
     def denoise(self, x: jax.Array, t: jax.Array,
@@ -59,6 +63,9 @@ class LatentDiffusion(nn.Module):
         return self.unet(x, t, context, training=training)
 
     def decode(self, latents: jax.Array) -> jax.Array:
+        if self.cfg.latent_scale != 1.0:
+            latents = latents / jnp.asarray(self.cfg.latent_scale,
+                                            latents.dtype)
         return self.vqvae.decode(latents, training=False)
 
     def __call__(self, x, t, context=None, training: bool = False):
@@ -352,20 +359,24 @@ class DiffusionTrainer:
                     training=False, method="denoise")
                 return model_out_to_eps(self.sched, x, t, out, ptype)
 
+            clip_v = self.cfg.clip_sample_range
             if sampler == "ddim":
                 steps = sample_steps or max(self.cfg.timesteps // 20, 1)
                 latents = sample_latents_ddim(self.sched, denoise,
                                               latent_shape, rng,
-                                              num_steps=steps, eta=eta)
+                                              num_steps=steps, eta=eta,
+                                              clip_value=clip_v)
             elif sampler == "dpmpp":
                 from ldm3d.diffusion.ddpm import sample_latents_dpmpp
                 steps = sample_steps or max(self.cfg.timesteps // 20, 1)
                 latents = sample_latents_dpmpp(self.sched, denoise,
                                                latent_shape, rng,
-                                               num_steps=steps)
+                                               num_steps=steps,
+                                               clip_value=clip_v)
             else:
                 latents = sample_latents(self.sched, denoise, latent_shape,
-                                         rng, last_step=last_step)
+                                         rng, last_step=last_step,
+                                         clip_value=clip_v)
             if decode:
                 return self.model.apply(variables, latents, method="decode")
             return latents
@@ -393,6 +404,7 @@ class DiffusionTrainer:
                       sampler: str = "ddim",
                       sample_steps: Optional[int] = None,
                       guidance_scale: Optional[float] = None,
+                      eta: float = 0.0,
                       real_ctx=None) -> dict:
         """Generate `num_samples` latent samples (split evenly over the
         context values for a conditional model) and score them against
@@ -426,7 +438,7 @@ class DiffusionTrainer:
                 rng, sub = jax.random.split(rng)
                 lats = self.generate(state, sub, shape, context_value=c,
                                      decode=False, sampler=sampler,
-                                     sample_steps=sample_steps,
+                                     sample_steps=sample_steps, eta=eta,
                                      guidance_scale=guidance_scale)
                 n = min(batch, per - done)
                 feats_by_ctx[c].append(pool_latent_features(lats[:n]))

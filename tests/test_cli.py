@@ -252,3 +252,20 @@ def test_cli_context_in_time_propagates():
         get_preset("conditional_dm3d"),
         build_parser().parse_args(["--preset", "conditional_dm3d"]))
     assert cfg.diffusion.unet.context_in_time is False
+
+
+def test_cli_latent_scale_and_clip_propagate():
+    from ldm3d.cli.main import apply_overrides, build_parser
+    from ldm3d.core.presets import get_preset
+
+    args = build_parser().parse_args(
+        ["--preset", "conditional_dm3d", "--latent_scale", "0.37",
+         "--clip_sample_range", "0"])
+    cfg = apply_overrides(get_preset("conditional_dm3d"), args)
+    assert cfg.diffusion.latent_scale == 0.37
+    assert cfg.diffusion.clip_sample_range == 0.0
+    cfg = apply_overrides(
+        get_preset("conditional_dm3d"),
+        build_parser().parse_args(["--preset", "conditional_dm3d"]))
+    assert cfg.diffusion.latent_scale == 1.0     # reference parity default
+    assert cfg.diffusion.clip_sample_range == 1.0

@@ -255,3 +255,61 @@ def test_cached_latent_step_on_mesh():
         assert not lb.sharding.is_fully_replicated  # data-sharded
         state, metrics = trainer.train_step_latents(state, lb, cb)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_latent_scale_roundtrip_and_training_space():
+    """--latent_scale (SD scale_factor): encode_latents multiplies,
+    decode divides — decode(encode(x)) is invariant to the scale, while
+    the diffusion space (what the U-Net sees) is scaled exactly."""
+    import numpy as np
+
+    from ldm3d.core.config import replace
+
+    cfg1 = tiny_diffusion_cfg(timesteps=4)
+    cfg2 = replace(cfg1, latent_scale=4.0)
+    tr1 = DiffusionTrainer(cfg1, train_cfg())
+    tr2 = DiffusionTrainer(cfg2, train_cfg())
+    state1 = tr1.init_state(jax.random.PRNGKey(0), (2, 16, 16, 16, 1))
+    state2 = tr2.init_state(jax.random.PRNGKey(0), (2, 16, 16, 16, 1))
+
+    vols = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 16, 1))
+    l1 = np.asarray(tr1.encode_latents(state1, vols))
+    l2 = np.asarray(tr2.encode_latents(state2, vols))
+    np.testing.assert_allclose(l2, 4.0 * l1, rtol=1e-5, atol=1e-6)
+
+    # decode inverts the scale: same reconstruction either way
+    v1 = tr1.model.apply(tr1._apply_variables(state1),
+                         jnp.asarray(l1), method="decode")
+    v2 = tr2.model.apply(tr2._apply_variables(state2),
+                         jnp.asarray(l2), method="decode")
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_clip_sample_range_changes_samples():
+    """clip_sample_range reaches the fused samplers: with latents whose
+    scale exceeds 1, a wide/disabled clip must produce different samples
+    than the reference's hard [-1,1], and the disabled clip's output must
+    escape the [-1,1] box."""
+    import numpy as np
+
+    from ldm3d.core.config import replace
+
+    base = tiny_diffusion_cfg(timesteps=8)
+    shape = (2, 4, 4, 4, base.latent_channels)
+
+    def sample_with(clip):
+        cfg = replace(base, clip_sample_range=clip)
+        tr = DiffusionTrainer(cfg, train_cfg())
+        state = tr.init_state(jax.random.PRNGKey(0), (2, 16, 16, 16, 1))
+        # bias the denoiser's input scale by sampling from a wide prior:
+        # the untrained net's eps is small, so x0 predictions track x and
+        # exceed [-1,1] regularly
+        return np.asarray(tr.generate(state, jax.random.PRNGKey(3), shape,
+                                      decode=False, sampler="ddim",
+                                      sample_steps=4))
+
+    s_ref = sample_with(1.0)
+    s_off = sample_with(0.0)
+    assert np.max(np.abs(s_ref - s_off)) > 1e-4
+    assert np.max(np.abs(s_off)) > np.max(np.abs(s_ref))
