@@ -105,7 +105,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "checkpoint and resume, up to N times (the "
                         "reference required manual Slurm resubmission)")
     p.add_argument("--sampler", default="ddpm",
-               choices=["ddpm", "ddim", "dpmpp"],
+               choices=["ddpm", "ddim", "dpmpp", "dpmpp_sde"],
                    help="test_dm sampler: full T-step DDPM chain "
                         "(reference behavior) or strided fast DDIM")
     p.add_argument("--sample_steps", type=int, default=None,
@@ -683,7 +683,7 @@ def run_test_dm(cfg, args):
                                sample_steps=args.sample_steps, eta=args.eta,
                                guidance_scale=args.guidance_scale)
         tag = f"-ctx{ctx}" if ctx is not None else ""
-        if args.sampler in ("ddim", "dpmpp"):
+        if args.sampler in ("ddim", "dpmpp", "dpmpp_sde"):
             tag = f"-{args.sampler}{args.sample_steps or ''}{tag}"
         path = os.path.join(
             args.out_dir,

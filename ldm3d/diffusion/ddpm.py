@@ -203,3 +203,75 @@ def sample_latents_dpmpp(sched: Schedule, denoise_fn: Callable, shape, rng,
               lam_next, alpha_next, sigma_ratio)
     (x, _, _), _ = jax.lax.scan(step, (x0, d0, jnp.ones(())), inputs)
     return x
+
+
+def sample_latents_dpmpp_sde(sched: Schedule, denoise_fn: Callable, shape,
+                             rng, num_steps: int = 50, clip_x0: bool = True,
+                             clip_value: float = 1.0,
+                             dtype=jnp.float32) -> jax.Array:
+    """DPM-Solver++(2M) SDE, VP form, midpoint multistep (Lu et al. 2022
+    appendix; the `sample_dpmpp_2m_sde` recipe popularized by k-diffusion,
+    eta=1): the second-order stochastic counterpart of
+    `sample_latents_dpmpp`. Per step, with h = lambda_next - lambda:
+
+        x <- (sigma_n / sigma) e^{-h} x
+             + alpha_n (1 - e^{-2h}) [x0 + (1 / 2r)(x0 - x0_prev)]
+             + sigma_n sqrt(1 - e^{-2h}) z
+
+    The first-order coefficients are EXACT for the true reverse process
+    (they reproduce q(x_next | x0) for point-mass data — see
+    tests/test_diffusion.py::test_dpmpp_sde_exact_for_delta_data), and the
+    injected noise restores the sample diversity deterministic solvers
+    lose on imperfect denoisers — the few-step FID lever for serving.
+    Beyond-reference (the reference has only the eager T-step DDPM chain,
+    dm3d.py:510-532); one fused `lax.scan` like every sampler here.
+    """
+    T = sched.timesteps
+    num_steps = min(num_steps, T)
+    taus = jnp.linspace(0, T - 1, num_steps).round().astype(jnp.int32)[::-1]
+
+    a_bar = sched.alpha_bar.astype(jnp.float32)
+    alpha = jnp.sqrt(a_bar)[taus]
+    sigma = jnp.sqrt(1.0 - a_bar)[taus]
+    lam = jnp.log(alpha) - jnp.log(sigma)
+    # "next" tables; the final update is overridden to return x0 below, so
+    # the last entries are placeholders
+    lam_next = jnp.concatenate([lam[1:], lam[-1:] + 1.0])
+    alpha_next = jnp.concatenate([alpha[1:], jnp.ones((1,), alpha.dtype)])
+    sigma_next = jnp.concatenate([sigma[1:], jnp.zeros((1,), sigma.dtype)])
+
+    init_rng, loop_rng = jax.random.split(rng)
+    x0 = jax.random.normal(init_rng, shape, dtype)
+    b = shape[0]
+    n = num_steps
+
+    def step(carry, inp):
+        x, d_prev, h_prev, rng = carry
+        i, t, a_c, s_c, l_c, l_n, a_n, s_n = inp
+        rng, sub = jax.random.split(rng)
+        eps = denoise_fn(x.astype(dtype),
+                         jnp.full((b,), t, jnp.int32)).astype(jnp.float32)
+        xf = x.astype(jnp.float32)
+        d = (xf - s_c * eps) / a_c             # x0 prediction
+        if clip_x0 and clip_value > 0:
+            d = jnp.clip(d, -clip_value, clip_value)
+        h = l_n - l_c
+        r = h_prev / h
+        em2h = jnp.exp(-2.0 * h)
+        # midpoint second-order correction through the previous x0
+        # prediction; no history on the first step -> first order
+        d_mid = jnp.where(i == 0, d, d + (0.5 / r) * (d - d_prev))
+        noise = jax.random.normal(sub, shape, jnp.float32)
+        x_new = ((s_n / s_c) * jnp.exp(-h) * xf
+                 + a_n * (1.0 - em2h) * d_mid
+                 + s_n * jnp.sqrt(jnp.maximum(1.0 - em2h, 0.0)) * noise)
+        # final step: sigma_next = 0, return the clean x0 prediction
+        x_new = jnp.where(i == n - 1, d, x_new)
+        return (x_new.astype(dtype), d, h, rng), None
+
+    d0 = jnp.zeros(shape, jnp.float32)
+    inputs = (jnp.arange(n), taus, alpha, sigma, lam,
+              lam_next, alpha_next, sigma_next)
+    (x, _, _, _), _ = jax.lax.scan(step, (x0, d0, jnp.ones(()), loop_rng),
+                                   inputs)
+    return x

@@ -123,8 +123,9 @@ class GenerationService:
         num = int(num)
         if not 1 <= num <= self.MAX_BATCH:
             raise ValueError(f"num must be in [1, {self.MAX_BATCH}]")
-        if sampler not in ("ddpm", "ddim", "dpmpp"):
-            raise ValueError("sampler must be 'ddpm', 'ddim' or 'dpmpp'")
+        if sampler not in ("ddpm", "ddim", "dpmpp", "dpmpp_sde"):
+            raise ValueError("sampler must be 'ddpm', 'ddim', 'dpmpp' "
+                             "or 'dpmpp_sde'")
         if sampler == "ddpm":
             sample_steps = None  # the full chain ignores strides; don't
             # fork the program cache on them

@@ -373,6 +373,13 @@ class DiffusionTrainer:
                                                latent_shape, rng,
                                                num_steps=steps,
                                                clip_value=clip_v)
+            elif sampler == "dpmpp_sde":
+                from ldm3d.diffusion.ddpm import sample_latents_dpmpp_sde
+                steps = sample_steps or max(self.cfg.timesteps // 20, 1)
+                latents = sample_latents_dpmpp_sde(self.sched, denoise,
+                                                   latent_shape, rng,
+                                                   num_steps=steps,
+                                                   clip_value=clip_v)
             else:
                 latents = sample_latents(self.sched, denoise, latent_shape,
                                          rng, last_step=last_step,

@@ -408,3 +408,61 @@ def test_context_in_time_strengthens_conditioning():
     s_off, s_on = sensitivity(m_off), sensitivity(m_on)
     # (b) same weights, strictly stronger context pathway
     assert s_on > 2.0 * s_off, (s_off, s_on)
+
+
+def test_dpmpp_sde_exact_for_delta_data():
+    """The VP 2M-SDE first-order coefficients reproduce q(x_next | x0)
+    exactly, so for point-mass data (constant x0 prediction) the sampler
+    must land on the point regardless of the injected noise."""
+    from ldm3d.diffusion.ddpm import sample_latents_dpmpp_sde
+
+    sched = make_schedule(1000)
+    a_bar = jnp.asarray(np.asarray(sched.alpha_bar))
+    c = 0.3
+
+    def eps(x, t):
+        ab = a_bar[t][0]
+        return (x - jnp.sqrt(ab) * c) / jnp.sqrt(1.0 - ab)
+
+    out = sample_latents_dpmpp_sde(sched, eps, (2, 4, 4, 4, 1),
+                                   jax.random.PRNGKey(0), num_steps=10,
+                                   clip_x0=False)
+    np.testing.assert_allclose(np.asarray(out), c, atol=1e-5)
+
+
+def test_dpmpp_sde_gaussian_marginal():
+    """For data ~ N(0, s^2) the exact reverse process ends at N(0, s^2);
+    the SDE sampler's sample std must match within discretization +
+    estimation error, at a step count where that error is small."""
+    from ldm3d.diffusion.ddpm import sample_latents_dpmpp_sde
+
+    sched = make_schedule(1000)
+    s = 0.5
+    eps = _gaussian_eps(sched, s)
+    out = np.asarray(sample_latents_dpmpp_sde(
+        sched, eps, (4, 8, 8, 8, 2), jax.random.PRNGKey(1),
+        num_steps=100, clip_x0=False))
+    assert np.isfinite(out).all()
+    assert abs(out.mean()) < 0.05
+    assert abs(out.std() - s) / s < 0.1, out.std()
+
+
+def test_dpmpp_sde_is_stochastic_and_diverse():
+    """Different rngs give different samples (unlike the deterministic
+    dpmpp), and the trainer generate path runs fused end-to-end."""
+    from __graft_entry__ import _flagship_cfg
+    from ldm3d.core.config import TrainConfig
+    from ldm3d.train.dm_trainer import DiffusionTrainer
+
+    cfg = _flagship_cfg(tiny=True)
+    tr = DiffusionTrainer(cfg, TrainConfig(batch_size=2, dtype="float32"),
+                          conditional=True)
+    state = tr.init_state(jax.random.PRNGKey(0), (2, 16, 16, 16, 1))
+    lat = (2, 4, 4, 4, cfg.latent_channels)
+    a = tr.generate(state, jax.random.PRNGKey(1), lat, context_value=1,
+                    sampler="dpmpp_sde", sample_steps=4)
+    b = tr.generate(state, jax.random.PRNGKey(2), lat, context_value=1,
+                    sampler="dpmpp_sde", sample_steps=4)
+    assert a.shape == (2, 16, 16, 16, 1)
+    assert np.isfinite(np.asarray(a)).all()
+    assert float(jnp.max(jnp.abs(a - b))) > 1e-6

@@ -51,14 +51,28 @@ DM="--preset conditional_dm3d --norm group $COMMON --lbs 8 \
 
 mkdir -p reports/quality_r3/conditioning
 
-echo "[queue9] arm A: by-class fidelity on existing flagship $(date -u +%H:%M:%S)"
-timeout 3600 python -m ldm3d.cli.main $DM --fidelity_sweep \
+echo "[queue9] arm A: by-class fidelity + sampler frontier on existing flagship $(date -u +%H:%M:%S)"
+# sampler frontier rides along on arm A (same checkpoint, no retrain):
+# stochastic DDIM (eta>0) tests the diversity hypothesis for the
+# DDIM-50 FID 106 vs DDPM-1000 FID 62 gap; 100-step cells test step-count
+# convergence.
+timeout 5400 python -m ldm3d.cli.main $DM --fidelity_sweep \
   --fidelity_by_class --fidelity_samples 64 \
-  --sweep_samplers "ddpm,ddim:50" --guidance_grid "none,3.0" \
+  --sweep_samplers "ddpm,ddim:50,ddim:50:0.5,ddim:50:1.0,ddim:100,ddim:100:1.0,dpmpp:50,dpmpp_sde:25,dpmpp_sde:50" \
+  --guidance_grid "none,3.0" \
   --ckpt_dir runs/ckpt_flagship --suffix flagship \
   --out_dir reports/quality_r3/conditioning/armA \
   > runs/r3_byclass_A.log 2>&1
 echo "[queue9] arm A rc=$? $(date -u +%H:%M:%S)"
+
+echo "[queue9] arm A': clip-range ablation (reference's [-1,1] vs none) $(date -u +%H:%M:%S)"
+timeout 2700 python -m ldm3d.cli.main $DM --fidelity_sweep \
+  --clip_sample_range 0 --fidelity_samples 64 \
+  --sweep_samplers "ddpm,ddim:50,ddim:100:1.0" --guidance_grid "none" \
+  --ckpt_dir runs/ckpt_flagship --suffix flagship \
+  --out_dir reports/quality_r3/conditioning/armA_noclip \
+  > runs/r3_noclip_A.log 2>&1
+echo "[queue9] arm A' rc=$? $(date -u +%H:%M:%S)"
 
 echo "[queue9] arm B: retrain flagship recipe with --context_in_time $(date -u +%H:%M:%S)"
 t0=$(date +%s)
