@@ -115,13 +115,48 @@ def main():
     elapsed = time.perf_counter() - start
 
     vols_per_min = runs * batch / elapsed * 60.0
-    print(json.dumps({
+    line = {
         "metric": "cond_128^3_sample_decode_1000step_volumes_per_min_per_chip",
         "value": round(vols_per_min, 3),
         "unit": "volumes/min/chip",
         "vs_baseline": round(vols_per_min / BASELINE_VOL_PER_MIN, 3),
         "trained_weights": trained,
-    }))
+    }
+    line.update(_flagship_fidelity())
+    print(json.dumps(line))
+
+
+def _flagship_fidelity():
+    """Quality metrics of the benched checkpoint, read from the training
+    run's metrics.jsonl (latent-FID / kernel-MMD / by-class separation are
+    logged during --train_dm via --fidelity_freq): reported beside the
+    throughput so BENCH carries a fidelity anchor, not just speed
+    (VERDICT r3 next-2)."""
+    import os
+
+    path = os.environ.get(
+        "LDM3D_BENCH_CKPT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "runs", "ckpt_flagship", "flagship_dm"))
+    mpath = os.path.join(path, "metrics.jsonl")
+    out = {}
+    try:
+        with open(mpath) as f:
+            for row in f:
+                try:
+                    rec = json.loads(row)
+                except ValueError:
+                    continue
+                if "latent_fid" in rec:
+                    out = {"latent_fid": round(rec["latent_fid"], 2),
+                           "latent_fid_epoch": rec.get("step")}
+                    if "fid_class_sep" in rec:
+                        out["fid_class_sep"] = round(rec["fid_class_sep"], 3)
+                    if "latent_mmd" in rec:
+                        out["latent_mmd"] = round(rec["latent_mmd"], 3)
+    except OSError:
+        pass
+    return out
 
 
 if __name__ == "__main__":

@@ -84,6 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--embedding_dim", type=int, default=None)
     p.add_argument("--dtype", default=None, choices=["bfloat16", "float32"])
     p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--ckpt_freq", type=int, default=1,
+                   help="save an orbax checkpoint every N epochs (final "
+                        "epoch always saved); >1 trades recovery "
+                        "granularity for wall-clock when the per-epoch "
+                        "state fetch dominates (fused epochs)")
     p.add_argument("--out_dir", default="./generated_images_dm3d")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of a few steps")
@@ -97,6 +102,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "VQGAN-paper adaptive lambda = "
                         "||grad_rec||/||grad_adv|| (stabilizes the "
                         "adversarial phase; beyond-reference)")
+    p.add_argument("--r1_gamma", type=float, default=None,
+                   help="R1 gradient-penalty weight on the critics' real "
+                        "inputs (gamma/2 * E||grad_x D(x)||^2; Lipschitz "
+                        "control for the adversarial phase; 0=off, "
+                        "beyond-reference)")
     p.add_argument("--disc_lr", type=float, default=None,
                    help="discriminator Adam learning rate (defaults to "
                         "TrainConfig.disc_learning_rate)")
@@ -306,6 +316,9 @@ def apply_overrides(cfg, args):
     if getattr(args, "adaptive_gan_weight", None):
         cfg = replace(cfg, vqgan=replace(cfg.vqgan,
                                          adaptive_g_weight=True))
+    if getattr(args, "r1_gamma", None) is not None:
+        cfg = replace(cfg, vqgan=replace(cfg.vqgan,
+                                         r1_gamma=args.r1_gamma))
 
     if args.ckpt_dir is not None:
         cfg = replace(cfg, ckpt_dir=args.ckpt_dir)
@@ -431,7 +444,8 @@ def run_train_vq(cfg, args):
                                      run_name=cfg.name),
         lr_schedule=lr_sched,
         replace_codebook_freq=cfg.train.replace_codebook_freq,
-        initial_epoch=initial_epoch, is_gan=is_gan)
+        initial_epoch=initial_epoch, ckpt_freq=args.ckpt_freq,
+        is_gan=is_gan)
     ckpt.wait()
     print("final:", {k: round(v, 6) for k, v in metrics.items()})
     return state
@@ -621,8 +635,15 @@ def run_train_dm(cfg, args):
         from ldm3d.data.pipeline import LatentLoader
         lat_all = jnp.concatenate(lats, axis=0)
         ctx_all = jnp.concatenate(ctxs, axis=0)
+        # Single device: fuse the whole epoch into ONE dispatched program
+        # (lax.scan over the permutation) — per-step dispatch through the
+        # TPU relay costs ~20-50x the 8^3-latent step program itself
+        # (DiffusionTrainer.train_epoch_latents). Multi-device keeps the
+        # per-step path (batches shard over 'data').
+        fused = mesh is None or mesh.devices.size == 1
         train_loader = LatentLoader(lat_all, ctx_all, cfg.train.batch_size,
-                                    seed=cfg.train.seed, mesh=mesh)
+                                    seed=cfg.train.seed, mesh=mesh,
+                                    fused=fused)
         lat_std = float(jnp.std(lat_all.astype(jnp.float32)))
         print(f"cache_latents: {lat_all.shape[0]} latents "
               f"{tuple(lat_all.shape[1:])} resident on device "
@@ -634,6 +655,9 @@ def run_train_dm(cfg, args):
               f"{cfg.diffusion.latent_scale / max(lat_std, 1e-8):.4f}")
 
         def step_fn(state, batch):  # noqa: F811 - replaces the volume path
+            if fused:
+                lat, ctx, perm = batch
+                return trainer.train_epoch_latents(state, lat, ctx, perm)
             lat, ctx = batch
             return trainer.train_step_latents(state, lat, ctx)
 
@@ -649,7 +673,8 @@ def run_train_dm(cfg, args):
                              append=args.resume_ckpt is not None),
         metrics_logger=MetricsLogger(os.path.join(logdir, "metrics.jsonl"),
                                      run_name=cfg.name),
-        initial_epoch=initial_epoch, step_fn=step_fn)
+        initial_epoch=initial_epoch, ckpt_freq=args.ckpt_freq,
+        step_fn=step_fn)
     ckpt.wait()
     print("final:", {k: round(float(v), 8) for k, v in metrics.items()})
     return state

@@ -142,6 +142,15 @@ class VQGANConfig:
     # --adaptive_gan_weight.
     adaptive_g_weight: bool = False
     adaptive_g_max: float = 1e4        # clip for lambda (paper uses 1e4)
+    # beyond-reference Lipschitz control for the critics: R1 gradient
+    # penalty gamma/2 * E[||grad_x D(x)||^2] on REAL inputs (Mescheder et
+    # al. 2018), applied to both the 3D and 2D critics once the
+    # adversarial phase is on. Motivation: the round-3 divergence analysis
+    # (reports/quality_r3/vqgan_analysis.md) showed unbounded critic logit
+    # scale under the reference's fixed weights
+    # (vqgan_attn_cp.py:725-766); R1 bounds the critics' local slope.
+    # 0.0 = off (reference parity). Opt in with --r1_gamma.
+    r1_gamma: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -385,10 +385,14 @@ class LatentLoader:
     tail batch like DataLoader (static shapes keep one compiled step)."""
 
     def __init__(self, latents, context, batch_size: int, seed: int = 0,
-                 mesh=None):
+                 mesh=None, fused: bool = False):
         self.latents = latents
         self.context = context
         self.batch_size = int(batch_size)
+        # fused: yield ONE (latents, context, perm) item per epoch — the
+        # whole-epoch index matrix for DiffusionTrainer.train_epoch_latents
+        # (one device dispatch per epoch instead of one per step)
+        self.fused = bool(fused)
         self._rng = np.random.default_rng(seed)
         self.n = int(latents.shape[0])
         if self.n < self.batch_size:
@@ -412,7 +416,13 @@ class LatentLoader:
     def __iter__(self):
         order = self._rng.permutation(self.n)
         bs = self.batch_size
-        for i in range(self.n // bs):
+        steps = self.n // bs
+        if self.fused:
+            perm = jnp.asarray(order[:steps * bs].reshape(steps, bs),
+                               jnp.int32)
+            yield self.latents, self.context, perm
+            return
+        for i in range(steps):
             idx = jnp.asarray(order[i * bs:(i + 1) * bs], jnp.int32)
             lat = jnp.take(self.latents, idx, axis=0)
             ctx = jnp.take(self.context, idx, axis=0)

@@ -364,8 +364,12 @@ class RNSVQ(nn.Module):
             usage.value = usage.value + counts
         indices = jnp.stack(
             [ix.reshape(x.shape[:-1]) for ix in indices_per_stage], axis=-1)
-        aux = QuantAux(loss, perplexity_from_counts(counts[0]), indices,
-                       counts)
+        # Headline perplexity = mean over stages; [S] counts expose the
+        # full per-stage usage health (VERDICT r3 weak-7: stage-0-only
+        # reporting hid dead later stages — the trainer widens 2-D counts
+        # into perplexity_stage{i} log columns).
+        perp_stages = jax.vmap(perplexity_from_counts)(counts)
+        aux = QuantAux(loss, jnp.mean(perp_stages), indices, counts)
         return quantized, aux
 
 

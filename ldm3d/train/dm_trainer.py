@@ -175,7 +175,7 @@ class DiffusionTrainer:
         return v
 
     def _build_train_step(self, state_template=None,
-                          on_latents: bool = False):
+                          on_latents: bool = False, jit: bool = True):
         global_bs = self.train_cfg.batch_size
 
         def loss_fn(unet_params, state, images, context, rng):
@@ -249,6 +249,8 @@ class DiffusionTrainer:
                 rng=rng, ema_params=ema_params)
             return new_state, {"loss": loss, "noise_mse": mse}
 
+        if not jit:
+            return step
         if self.mesh is None:
             return jax.jit(step, donate_argnums=(0,))
         from ldm3d.parallel.spatial import with_spatial
@@ -257,6 +259,36 @@ class DiffusionTrainer:
             else self._state_shardings(state_template)
         return jax.jit(with_spatial(self.mesh, step), donate_argnums=(0,),
                        out_shardings=(state_sh, rep))
+
+    def train_epoch_latents(self, state: TrainState, latents, contexts,
+                            perm):
+        """One jitted program for a WHOLE epoch of cached-latent steps:
+        `lax.scan` over `perm` ([steps, batch] int32 indices into the
+        HBM-resident latent corpus), each iteration the exact
+        `train_step_latents` body. Returns (state, metrics-mean-over-steps).
+
+        Rationale: on this environment's relayed TPU, per-step dispatch
+        costs ~0.3-0.5 s while the cached-latent step program runs in
+        ~0.015 s — a 138-step epoch measured 44-110 s wall
+        (runs/r3_flagship_q10.log). Fusing the epoch into one dispatch is
+        the idiomatic XLA fix (static trip count, data-independent control
+        flow) and is bit-identical to the sequential path:
+        tests/test_dm_trainer.py::test_fused_epoch_matches_sequential.
+        Single-device only (the CLI falls back to per-step dispatch on
+        multi-device meshes, where gathering from a replicated corpus
+        would defeat batch sharding)."""
+        if not hasattr(self, "_epoch_fn"):
+            step = self._build_train_step(on_latents=True, jit=False)
+
+            def epoch(st, lat_all, ctx_all, perm):
+                def body(s, idx):
+                    return step(s, jnp.take(lat_all, idx, axis=0),
+                                jnp.take(ctx_all, idx, axis=0))
+                st, ms = jax.lax.scan(body, st, perm)
+                return st, jax.tree_util.tree_map(jnp.mean, ms)
+
+            self._epoch_fn = jax.jit(epoch, donate_argnums=(0,))
+        return self._epoch_fn(state, latents, contexts, perm)
 
     def _step(self, on_latents, state, x, context):
         if on_latents not in self._train_steps:

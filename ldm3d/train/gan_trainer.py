@@ -345,6 +345,34 @@ class GANTrainer:
                      + self.d_loss(False, fake_logits2))
         disc_loss = gate * cfg.disc_wt * disc_loss
 
+        r1 = jnp.zeros((), jnp.float32)
+        if cfg.r1_gamma > 0:
+            # R1 gradient penalty on REAL inputs (Mescheder et al. 2018):
+            # gamma/2 * E_x[||grad_x D(x)||^2] per critic. Differentiates
+            # the critic w.r.t. its INPUT; the outer value_and_grad then
+            # differentiates the penalty w.r.t. critic params (second
+            # order — JAX composes reverse-over-reverse). Uses the
+            # post-real-update batch_stats so the penalized program is the
+            # same critic the hinge/vanilla loss scores.
+            def d3_sum(v):
+                l, _ = self.disc3d.apply(
+                    {"params": params["disc3d"], "batch_stats": g_stats3},
+                    v, training=False)
+                return jnp.sum(l.astype(jnp.float32))
+
+            def d2_sum(f):
+                l, _ = self.disc2d.apply(
+                    {"params": params["disc2d"], "batch_stats": g_stats2},
+                    f, training=False)
+                return jnp.sum(l.astype(jnp.float32))
+
+            g3 = jax.grad(d3_sum)(vol.astype(jnp.float32))
+            g2 = jax.grad(d2_sum)(frames.astype(jnp.float32))
+            r1 = 0.5 * cfg.r1_gamma * (
+                jnp.mean(jnp.sum(jnp.square(g3.reshape(b, -1)), axis=-1))
+                + jnp.mean(jnp.sum(jnp.square(g2.reshape(b, -1)), axis=-1)))
+            disc_loss = disc_loss + gate * r1
+
         new_batch_stats = {
             "ae": ae_updates.get("batch_stats", state.batch_stats["ae"]),
             "disc3d": d3_updates.get("batch_stats",
@@ -364,6 +392,8 @@ class GANTrainer:
         }
         if cfg.adaptive_g_weight:
             metrics["adaptive_weight"] = gate * adv_w
+        if cfg.r1_gamma > 0:
+            metrics["r1_penalty"] = gate * r1
         updates = {"vq_stats": ae_updates.get("vq_stats", state.vq_stats),
                    "batch_stats": new_batch_stats}
         return ae_loss + disc_loss, (metrics, updates, img_recon)

@@ -21,6 +21,12 @@ from ldm3d.train.checkpoint import CheckpointManager
 
 
 def _mean_metrics(history):
+    # ONE bulk transfer for the whole epoch's metric scalars: device_get
+    # schedules async copies for every leaf before blocking. Fetching each
+    # scalar with float() serializes hundreds of relay round-trips per
+    # epoch (measured: the dominant epoch cost on cached-latent stage-2,
+    # runs/r3_flagship_q10.log 44-110 s vs ~2 s program time).
+    history = jax.device_get(history)
     out = {}
     for k in history[0]:
         out[k] = float(np.mean([float(h[k]) for h in history]))
@@ -35,6 +41,7 @@ def fit(trainer, state, train_loader, epochs: int,
         lr_schedule: Optional[ReduceLROnPlateau] = None,
         replace_codebook_freq: int = 0,
         initial_epoch: int = 0,
+        ckpt_freq: int = 1,
         step_fn: Optional[Callable] = None,
         eval_fn: Optional[Callable] = None,
         is_gan: bool = False,
@@ -125,7 +132,11 @@ def fit(trainer, state, train_loader, epochs: int,
             metrics_logger(epoch, last_metrics)
         if image_logger is not None:
             image_logger(epoch, state)
-        if ckpt is not None:
+        if ckpt is not None and ((epoch + 1) % max(ckpt_freq, 1) == 0
+                                 or epoch + 1 == epochs):
+            # ckpt_freq > 1 trades recovery granularity for wall-clock:
+            # with fused epochs the full-state device_get + orbax write is
+            # the dominant per-epoch cost (always saves the final epoch)
             monitor = last_metrics.get("val_loss", last_metrics.get("loss"))
             ckpt.save(epoch + 1, jax.device_get(state), metric=monitor)
         if verbose:

@@ -137,6 +137,13 @@ class VQTrainer:
             "quantize_loss": aux.loss,
             "perplexity": aux.perplexity,
         }
+        if aux.usage_counts.ndim == 2:
+            # multi-stage quantizer (RNSVQ): one perplexity column per
+            # stage so dead later stages are visible in training.log
+            from ldm3d.ops.quantize import perplexity_from_counts
+            for i in range(aux.usage_counts.shape[0]):
+                metrics[f"perplexity_stage{i}"] = perplexity_from_counts(
+                    aux.usage_counts[i])
         return loss, (metrics, updates, img_recon)
 
     def _build_train_step(self, state_template=None):

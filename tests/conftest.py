@@ -17,3 +17,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavyweight test (multi-process, full-model compile, or "
+        "end-to-end train); deselect with -m 'not slow' for the <5-min "
+        "single-core tier (RUNBOOK: used between run-queue phases)")

@@ -6,6 +6,10 @@ Exercises the full entry-point surface the reference exposes
 so a full two-stage train -> sample run is covered by the suite.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import json
 import os
 

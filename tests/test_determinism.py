@@ -6,6 +6,10 @@ here every source of randomness is a threaded PRNG key, so two runs from
 the same seed must produce bit-identical metrics and parameters — a
 property production debugging and A/B work rely on."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax
 import numpy as np
 

@@ -313,3 +313,60 @@ def test_clip_sample_range_changes_samples():
     s_off = sample_with(0.0)
     assert np.max(np.abs(s_ref - s_off)) > 1e-4
     assert np.max(np.abs(s_off)) > np.max(np.abs(s_ref))
+
+
+def test_fused_epoch_matches_sequential():
+    """train_epoch_latents (one lax.scan dispatch per epoch) is exact: the
+    same permutation driven through per-step train_step_latents calls must
+    produce the same final params/EMA/opt-state (to 1-2 ulp: the scan body
+    and the standalone step compile to different XLA programs, so fusion
+    may reassociate float ops) and the same mean metrics. (The fused path
+    exists because per-step dispatch through the TPU relay costs ~20-50x
+    the cached-latent step program, runs/r3_flagship_q10.log.)"""
+    cfg = tiny_diffusion_cfg(conditional=True)
+    vol, _, _ = synthetic_batch(jax.random.PRNGKey(1), 6, 16)
+    ctx = jnp.array([0, 1, 0, 1, 1, 0], jnp.int32)
+    perm = jnp.array([[4, 1], [0, 5], [3, 2]], jnp.int32)   # 3 steps, bs 2
+
+    tr_a = DiffusionTrainer(cfg, train_cfg(), conditional=True)
+    state_a = tr_a.init_state(jax.random.PRNGKey(0), (2, 16, 16, 16, 1))
+    lat = tr_a.encode_latents(state_a, vol)
+    ms = []
+    for idx in perm:
+        state_a, m = tr_a.train_step_latents(
+            state_a, jnp.take(lat, idx, axis=0), jnp.take(ctx, idx, axis=0))
+        ms.append(m)
+    mean_a = {k: float(np.mean([float(m[k]) for m in ms])) for k in ms[0]}
+
+    tr_b = DiffusionTrainer(cfg, train_cfg(), conditional=True)
+    state_b = tr_b.init_state(jax.random.PRNGKey(0), (2, 16, 16, 16, 1))
+    state_b, m_b = tr_b.train_epoch_latents(state_b, lat, ctx, perm)
+
+    assert int(state_b.step) == int(state_a.step) == 3
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-6, atol=1e-7),
+        (state_a.params["unet"], state_a.opt_state, state_a.ema_params,
+         state_a.rng),
+        (state_b.params["unet"], state_b.opt_state, state_b.ema_params,
+         state_b.rng))
+    for k in mean_a:
+        np.testing.assert_allclose(float(m_b[k]), mean_a[k], rtol=1e-6)
+
+
+def test_fused_latent_loader_yields_epoch_perm():
+    from ldm3d.data.pipeline import LatentLoader
+    lat = jnp.arange(7, dtype=jnp.float32).reshape(7, 1, 1, 1, 1)
+    ctx = jnp.arange(7, dtype=jnp.int32)
+    loader = LatentLoader(lat, ctx, batch_size=2, seed=3, fused=True)
+    items = list(loader)
+    assert len(items) == 1
+    l_all, c_all, perm = items[0]
+    assert l_all is lat and c_all is ctx
+    assert perm.shape == (3, 2) and perm.dtype == jnp.int32
+    flat = np.asarray(perm).ravel()
+    assert len(set(flat.tolist())) == 6          # distinct indices
+    # same seed, non-fused path: identical epoch order
+    seq = LatentLoader(lat, ctx, batch_size=2, seed=3)
+    seen = np.concatenate([np.asarray(cb) for _, cb in seq])
+    np.testing.assert_array_equal(flat, seen)

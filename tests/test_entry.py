@@ -7,6 +7,10 @@ latent spatial size, so an init at the wrong volume size fails only at
 apply time — exactly the class of bug this guards against).
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

@@ -58,3 +58,70 @@ def test_converted_weights_load_into_lpips(tmp_path):
     d_diff = model.apply({"params": params}, x, jnp.zeros_like(x))
     assert float(d_same[0]) < 1e-6
     assert float(d_diff[0]) > float(d_same[0])
+
+
+# precomputed on CPU from the seeded _fake_torch_state (float32)
+GOLDEN_LPIPS_D = 0.25556907057762146
+
+
+def test_env_var_weights_reach_trainer_and_match_golden(tmp_path, monkeypatch):
+    """End-to-end proof of the pretrained-LPIPS path (VERDICT r3 next-4):
+    a converted .npz routed through LDM3D_LPIPS_WEIGHTS must (a) be picked
+    up by GANTrainer.init_state (lpips_pretrained=True, no surrogate), (b)
+    produce a metric value pinned by a precomputed golden on fixed inputs
+    (same technique as tests/test_tf_parity.py), and (c) differ from the
+    self-calibrated random-feature surrogate on those inputs — the loaded
+    weights demonstrably change the metric, they don't just load."""
+    vgg_sd, lin_sd = _fake_torch_state()
+    flat = {**convert_vgg(vgg_sd), **convert_lins(lin_sd)}
+    out = tmp_path / "lpips.npz"
+    np.savez(out, **flat)
+    monkeypatch.setenv("LDM3D_LPIPS_WEIGHTS", str(out))
+
+    params = load_lpips_params()
+    assert params is not None
+
+    # fixed deterministic inputs: orthogonal gradient ramps
+    h = jnp.linspace(0.0, 1.0, 32)
+    x1 = jnp.tile(h[None, :, None, None], (1, 1, 32, 3))
+    x2 = jnp.tile(h[None, None, :, None], (1, 32, 1, 3))
+    model = LPIPS()
+    d = float(model.apply({"params": params}, x1, x2)[0])
+    # golden from the seeded _fake_torch_state conversion (pinned once;
+    # any layout/transpose regression in the converter shifts it)
+    np.testing.assert_allclose(d, GOLDEN_LPIPS_D, rtol=1e-4)
+
+    # differs from the surrogate on the same inputs
+    from ldm3d.models.lpips import calibrate_lpips_params
+    init = model.init(jax.random.PRNGKey(0), x1, x1)
+    sur = calibrate_lpips_params(init["params"], (32, 32))
+    d_sur = float(model.apply({"params": sur}, x1, x2)[0])
+    assert abs(d - d_sur) / max(abs(d), abs(d_sur)) > 1e-3
+
+    # GANTrainer picks the env weights up (no surrogate warning)
+    import warnings as _w
+
+    from ldm3d.core.config import (DiscriminatorConfig, QuantizerConfig,
+                                   TrainConfig, VQGANConfig, VQVAEConfig)
+    from ldm3d.train.gan_trainer import GANTrainer
+    ae = VQVAEConfig(
+        in_channels=2, out_channels=2,
+        num_channels=(4, 8), num_res_channels=(4, 8), num_res_layers=1,
+        downsample_stride=(1, 2), downsample_kernel=(3, 4),
+        upsample_stride=(1, 2), upsample_kernel=(3, 4),
+        norm="group", act="silu",
+        quantizer=QuantizerConfig(kind="ema", num_embeddings=16,
+                                  embedding_dim=8))
+    cfg = VQGANConfig(ae=ae, disc=DiscriminatorConfig(num_channels=(4, 8)),
+                      disc_threshold=0, frame_idx_range=(4, 12))
+    trainer = GANTrainer(cfg, TrainConfig(dtype="float32", batch_size=2,
+                                          learning_rate=1e-3,
+                                          disc_learning_rate=1e-3))
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # the surrogate path warns loudly
+        state = trainer.init_state(jax.random.PRNGKey(1), (2, 16, 16, 16, 2))
+    assert trainer.lpips_pretrained
+    loaded = state.params["lpips"]
+    np.testing.assert_array_equal(
+        np.asarray(loaded["vgg"]["block1_conv1"]["kernel"]),
+        np.asarray(params["vgg"]["block1_conv1"]["kernel"]))

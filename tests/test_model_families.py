@@ -2,6 +2,10 @@
 legacy keras-tutorial VQ-VAE, EMA skip-VQVAE + generic U-Net, and the
 VQ-GAN baseline/gnorm/stride architecture variants (SURVEY.md §2.3)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -4,6 +4,10 @@ global device set, per-host batch rows in the DataLoader, one real VQ
 train step over the global batch. Each subprocess gets 4 virtual CPU
 devices => an 8-device global mesh."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import json
 import os
 import socket

@@ -1,5 +1,9 @@
 """Generation-server tests (ldm3d/serve.py) on a tiny CPU model."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import io
 import json
 import threading

@@ -9,6 +9,10 @@ halo exchanges rather than all-gathers of the sharded axis, and (c) uses
 materially less per-device activation memory than space=1.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -3,6 +3,10 @@
 place their conv output channels across devices, the train step runs
 under GSPMD, and losses match the unsharded baseline."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -76,6 +76,66 @@ def step_roofline(fn, dt_seconds, *args):
     return out
 
 
+# measured by bench_dispatch(); when set, every later bench line carries
+# dispatch_s + program_s_est so relay anomalies (e.g. the round-3 DM-step
+# 0.089->0.201 regression with byte-identical HLO) are attributable from
+# one command: `bench_train.py --attribute --only dm`
+_DISPATCH = None
+
+
+def bench_dispatch(runs):
+    """Dispatch-vs-program attribution (VERDICT r3 weak-5): time a no-op
+    donated jitted step (a scalar increment — its program time is
+    microseconds, so the measurement IS the host->relay->device dispatch
+    path) two ways:
+      - pipelined: enqueue `runs` steps, fetch once — the per-step enqueue
+        cost a training loop actually pays;
+      - sync: fetch the scalar every step — the full round-trip latency.
+    A healthy relay shows pipelined << sync << any real step; a wedged or
+    slow relay inflates both, which cleanly attributes a step-time
+    regression to transport rather than the compiled program."""
+    import functools
+
+    runs = max(runs, 30)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def noop(x):
+        return x + 1.0
+
+    x = noop(jnp.zeros((), jnp.float32))
+    float(x)  # compile + drain
+
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        x = noop(x)
+    float(x)
+    dt_pipe = (time.perf_counter() - t0) / runs
+
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        x = noop(x)
+        float(x)
+    dt_sync = (time.perf_counter() - t0) / runs
+
+    global _DISPATCH
+    _DISPATCH = dt_sync
+    print(json.dumps({
+        "metric": "dispatch_noop_step",
+        "pipelined_s": round(dt_pipe, 6),
+        "sync_roundtrip_s": round(dt_sync, 6),
+        "unit": "s/step", "runs": runs,
+    }))
+    return dt_pipe, dt_sync
+
+
+def _attribution(dt):
+    """dispatch_s/program_s_est keys when bench_dispatch ran first."""
+    if _DISPATCH is None:
+        return {}
+    return {"dispatch_s": round(_DISPATCH, 6),
+            "program_s_est": round(max(dt - _DISPATCH, 0.0), 4)}
+
+
 def _abstract(tree):
     """ShapeDtypeStructs of a (donated) state pytree, captured before
     bench_step consumes it — lets step_mfu lower the step without paying
@@ -96,12 +156,16 @@ def bench_step(fn, state, args_fn, runs):
     return (time.perf_counter() - t0) / runs
 
 
-def bench_vqvae(batch, runs, remat=True, remat_policy="full"):
+def bench_vqvae(batch, runs, remat=True, remat_policy="full", dtype=None):
     from ldm3d.core.config import replace
     from ldm3d.core.presets import get_preset
     from ldm3d.train.vq_trainer import VQTrainer
 
     cfg = get_preset("vqvae_b8_all")
+    if dtype:
+        # HBM-bandwidth lever (VERDICT r3 next-5): the VQ step is memory-
+        # bound (AI ~25 << ridge 241); bf16 activations halve the traffic
+        cfg = replace(cfg, train=replace(cfg.train, dtype=dtype))
     if not remat:
         # MFU lever A/B (VERDICT r2 next-6): rematerialization re-executes
         # the conv stack in the backward pass — turning it off trades HBM
@@ -126,9 +190,10 @@ def bench_vqvae(batch, runs, remat=True, remat_policy="full"):
     print(json.dumps({
         "metric": "vqvae_b8_train_step_128^3",
         "value": round(dt, 4), "unit": "s/step",
-        "batch": batch, "remat": remat,
+        "batch": batch, "remat": remat, "dtype": dtype or "preset",
         "remat_policy": remat_policy if remat else None,
         "s_per_volume": round(s_per_vol, 4),
+        **_attribution(dt),
         **{k: round(v, 4) if isinstance(v, float) else v
            for k, v in rl.items()},
         "vs_baseline": round(VQ_REF_S_PER_VOL / s_per_vol, 2),
@@ -169,6 +234,7 @@ def bench_dm(batch, runs, on_latents=False):
         "value": round(dt, 4), "unit": "s/step",
         "batch": batch,
         "s_per_volume": round(s_per_vol, 4),
+        **_attribution(dt),
         **{k: round(v, 4) if isinstance(v, float) else v
            for k, v in rl.items()},
         "vs_baseline": round(DM_REF_S_PER_VOL / s_per_vol, 2),
@@ -205,6 +271,7 @@ def bench_gan(batch, runs):
             "value": round(dt, 4), "unit": "s/step",
             "batch": batch,
             "s_per_volume": round(s_per_vol, 4),
+            **_attribution(dt),
             **{k: round(v, 4) if isinstance(v, float) else v
                for k, v in rl.items()},
             "vs_baseline": None,
@@ -241,6 +308,7 @@ def bench_sample(batch, runs):
         "metric": "cond_sample_decode_1000step_128^3",
         "value": round(dt, 4), "unit": "s/batch", "batch": batch,
         "s_per_volume": round(dt / batch, 4),
+        **_attribution(dt),
         **{k: round(v, 4) if isinstance(v, float) else v
            for k, v in rl.items()},
         "vs_baseline": round(10.0 / (dt / batch), 1),
@@ -253,8 +321,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--runs", type=int, default=5)
-    ap.add_argument("--only", choices=["vq", "dm", "gan", "sample"],
+    ap.add_argument("--only", choices=["vq", "dm", "gan", "sample",
+                                       "dispatch"],
                     default=None)
+    ap.add_argument("--attribute", action="store_true",
+                    help="measure no-op dispatch latency first and report "
+                         "dispatch_s/program_s_est on every bench line "
+                         "(relay-vs-program attribution)")
     ap.add_argument("--no_remat", action="store_true",
                     help="A/B the rematerialization lever (vq only)")
     ap.add_argument("--remat_policy", choices=["full", "conv"],
@@ -262,6 +335,8 @@ def main():
                     help="remat granularity lever (vq only)")
     ap.add_argument("--dm_latents", action="store_true",
                     help="bench the --cache_latents DM step (dm only)")
+    ap.add_argument("--dtype", choices=["bfloat16", "float32"], default=None,
+                    help="override train dtype (vq only; bandwidth lever)")
     ap.add_argument("--xla_flags", default=None,
                     help="extra XLA_FLAGS for this process (MFU lever A/B, "
                     "e.g. '--xla_tpu_enable_latency_hiding_scheduler=true'); "
@@ -275,9 +350,13 @@ def main():
             os.environ.get("XLA_FLAGS", "") + " " + args.xla_flags).strip()
         # a cached executable would mask the flag's effect
         jax.config.update("jax_compilation_cache_dir", None)
+    if args.attribute or args.only == "dispatch":
+        bench_dispatch(args.runs)
+        if args.only == "dispatch":
+            return
     if args.only in (None, "vq"):
         bench_vqvae(args.batch, args.runs, remat=not args.no_remat,
-                    remat_policy=args.remat_policy)
+                    remat_policy=args.remat_policy, dtype=args.dtype)
     if args.only in (None, "dm"):
         bench_dm(args.batch, args.runs, on_latents=args.dm_latents)
     if args.only == "gan":
