@@ -73,6 +73,9 @@ class VQVAEConfig:
     #   "monai":   MONAI encoder/decoder + BatchNorm (vqgan.py / vqgan_gnorm.py)
     #   "stride":  res-units BEFORE stride-1 convs + AveragePooling3D downs,
     #              UpSampling3D decoder (vqgan_stride.py:323-340,454)
+    #   "attn":    SYMMETRIC-pad SamePadConv3D family (vqgan_attn.py:242-412;
+    #              superseded upstream by attn_cp — num_channels[0] is the
+    #              stem width, one k4-s2 level per further entry)
     arch: str = "attn_cp"
     # model family when trained standalone: "monai" (vqvae3d_monai.py) or
     # "legacy" (the keras-tutorial functional VQVAE, vqvae3d.py, selected

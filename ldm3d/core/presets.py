@@ -16,6 +16,9 @@ Each preset reproduces one canonical reference run:
   - vqgan_attn        <- main_exp_vqgan_attn.py + sb_vqgan.sbatch
                          (channel_list (32,64,128), K=512, D=256,
                          disc_threshold 40, Adam(0.5, 0.9))
+  - vqgan_attn_sym    <- networks/vqgan_attn.py itself (the superseded
+                         SYMMETRIC-pad SamePadConv3D family; no upstream
+                         main imports it — runnable here)
   - dm3d / conditional_dm3d <- main.py:371-427 & main_conditional_dm.py
                          (T=300/500, widths [64,128,256],
                          attention [F,F,T,T], frozen 4-level VQ-VAE)
@@ -138,6 +141,28 @@ def _vqgan_attn() -> ExperimentConfig:
                       disc_threshold=40)
     return ExperimentConfig(
         name="vqgan_attn", model="vqgan", vqgan=gan,
+        train=TrainConfig(batch_size=2, learning_rate=1e-4,
+                          disc_learning_rate=1e-4, adam_b1=0.5, adam_b2=0.9))
+
+
+@register("vqgan_attn_sym")
+def _vqgan_attn_sym() -> ExperimentConfig:
+    """The superseded SYMMETRIC-pad family (networks/vqgan_attn.py, not
+    wired to any upstream main): hard-coded n_hiddens=64 encoder with one
+    k4-s2 level (:584-594), VideoGPT EMA quantizer with K=128, D=64
+    defaults (:541-542), ndf=64 n_layers=3 critics, vanilla disc loss,
+    Adam(0.5, 0.9)."""
+    ae = VQVAEConfig(
+        remat=True, in_channels=2, out_channels=2, num_res_layers=1,
+        norm="group", act="silu", arch="attn",
+        num_channels=(64, 128), num_res_channels=(64, 128),
+        quantizer=QuantizerConfig(kind="ema", num_embeddings=128,
+                                  embedding_dim=64))
+    gan = VQGANConfig(
+        ae=ae, disc=DiscriminatorConfig(num_channels=(64, 128, 256)),
+        disc_threshold=40, disc_loss_fn="vanilla")
+    return ExperimentConfig(
+        name="vqgan_attn_sym", model="vqgan", vqgan=gan,
         train=TrainConfig(batch_size=2, learning_rate=1e-4,
                           disc_learning_rate=1e-4, adam_b1=0.5, adam_b2=0.9))
 

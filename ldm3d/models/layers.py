@@ -115,6 +115,23 @@ class Norm(nn.Module):
         raise ValueError(f"unknown norm kind {self.kind}")
 
 
+def symmetric_pad3d(x: jax.Array, kernel: Tuple[int, int, int],
+                    stride: Tuple[int, int, int]) -> jax.Array:
+    """Edge-inclusive mirror padding for a VALID conv, TF semantics:
+    `tf.pad(mode='SYMMETRIC')` == `jnp.pad(mode='symmetric')`. Per spatial
+    dim the total pad is k - s, split low = p//2, high = p//2 + p%2 —
+    the VideoGPT SamePad recipe the reference's superseded `vqgan_attn`
+    family uses (reference networks/vqgan_attn.py:242-265)."""
+    pads = [(0, 0)]
+    for k, s in zip(kernel, stride):
+        p = k - s
+        pads.append((p // 2, p // 2 + p % 2))
+    pads.append((0, 0))
+    if all(lo == 0 and hi == 0 for lo, hi in pads):
+        return x
+    return jnp.pad(x, pads, mode="symmetric")
+
+
 def conv3d(features: int, kernel: Union[int, Tuple[int, int, int]] = 3,
            stride: Union[int, Tuple[int, int, int]] = 1, dilation: int = 1,
            use_bias: bool = True, dtype=None, name=None,

@@ -124,6 +124,151 @@ class VQGANDecoder(nn.Module):
         return x
 
 
+class SamePadConv3D(nn.Module):
+    """SYMMETRIC-pad 'same' conv: mirror-pad k-s per dim, then VALID conv
+    (reference networks/vqgan_attn.py:242-265). Differs from zero-pad SAME
+    convs at every volume border — the defining trait of the superseded
+    `vqgan_attn` family."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from ldm3d.models.layers import symmetric_pad3d
+        k, s = (self.kernel,) * 3, (self.stride,) * 3
+        x = symmetric_pad3d(x, k, s)
+        return nn.Conv(self.features, k, strides=s, padding="VALID",
+                       use_bias=self.use_bias, dtype=self.dtype,
+                       kernel_init=nn.initializers.glorot_uniform(),
+                       name="conv")(x)
+
+
+class SamePadConvTranspose3D(nn.Module):
+    """SYMMETRIC-pad transpose conv producing exactly stride*n outputs:
+    mirror-pad k-s per dim, VALID transpose conv, center-crop the
+    (k-s)*(s+1) excess voxels per dim.
+
+    Documented divergence: the reference layer
+    (networks/vqgan_attn.py:270-294) omits the crop, so its VALID
+    transpose on the padded input yields s*n + (k-s)*(s+1) voxels — a
+    128^3 volume decodes to 134^3 and the reconstruction loss cannot even
+    be formed, which is why the family was superseded by `vqgan_attn_cp`
+    upstream. The crop restores the VideoGPT SamePadConvTranspose3d
+    semantics (torch `padding=k-1`) the TF translation dropped."""
+
+    features: int
+    kernel: int = 4
+    stride: int = 2
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from ldm3d.models.layers import symmetric_pad3d
+        k, s = (self.kernel,) * 3, (self.stride,) * 3
+        x = symmetric_pad3d(x, k, s)
+        x = nn.ConvTranspose(self.features, k, strides=s, padding="VALID",
+                             use_bias=self.use_bias, dtype=self.dtype,
+                             kernel_init=nn.initializers.glorot_uniform(),
+                             name="convt", transpose_kernel=True)(x)
+        # VALID transpose on the padded input overshoots stride*n by
+        # (k-s)*(s+1) per dim; center-crop back (== torch padding=k-1 for
+        # the family's k=4,s=2 case)
+        e = (self.kernel - self.stride) * (self.stride + 1)
+        lo, hi = e // 2, e - e // 2
+        if e:
+            x = x[:, lo:-hi, lo:-hi, lo:-hi, :]
+        return x
+
+
+class SymResidualUnit(nn.Module):
+    """Pre-norm SiLU residual unit with SYMMETRIC-pad convs and a 1x1
+    shortcut on channel change (reference networks/vqgan_attn.py:305-338)."""
+
+    channels: int
+    dropout: float = 0.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = True) -> jax.Array:
+        shortcut = x
+        h = Norm("group", dtype=self.dtype, name="norm1")(x, training)
+        h = jax.nn.silu(h)
+        h = SamePadConv3D(self.channels, 3, dtype=self.dtype,
+                          name="conv1")(h)
+        if self.dropout:
+            h = nn.Dropout(self.dropout, deterministic=not training)(h)
+        h = Norm("group", dtype=self.dtype, name="norm2")(h, training)
+        h = jax.nn.silu(h)
+        h = SamePadConv3D(self.channels, 3, dtype=self.dtype, name="conv2")(h)
+        if shortcut.shape[-1] != self.channels:
+            shortcut = SamePadConv3D(self.channels, 1, dtype=self.dtype,
+                                     name="shortcut")(shortcut)
+        return h + shortcut
+
+
+class AttnEncoder(nn.Module):
+    """SYMMETRIC-pad encoder (reference networks/vqgan_attn.py:340-376 with
+    the hard-coded wiring of :584-594): k3-s1 stem at num_channels[0], then
+    per level k4-s2 SamePadConv3D doubling channels + one residual unit,
+    head GroupNorm + SiLU, and the pre-VQ 1x1 projection to embedding_dim
+    (the reference's `pre_vq_conv`; a 1x1x1 conv3d is numerically identical
+    to its Conv2D-on-5D-input form)."""
+
+    cfg: VQVAEConfig
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = True) -> jax.Array:
+        cfg = self.cfg
+        x = shard_spatial(x)
+        x = SamePadConv3D(cfg.num_channels[0], 3, dtype=self.dtype,
+                          name="stem")(x)
+        for i, ch in enumerate(cfg.num_channels[1:], start=1):
+            x = SamePadConv3D(ch, 4, stride=2, dtype=self.dtype,
+                              name=f"down_{i}")(x)
+            x = SymResidualUnit(ch, dropout=cfg.dropout, dtype=self.dtype,
+                                name=f"res_{i}")(x, training)
+            x = shard_spatial(x)
+        x = Norm("group", dtype=self.dtype, name="head_norm")(x, training)
+        x = jax.nn.silu(x)
+        return conv3d(cfg.quantizer.embedding_dim, 1, dtype=self.dtype,
+                      name="to_latent")(x)
+
+
+class AttnDecoder(nn.Module):
+    """SYMMETRIC-pad decoder (reference networks/vqgan_attn.py:379-412):
+    post-VQ 1x1, GroupNorm + SiLU, per level k4-s2 SamePadConvTranspose3D +
+    two residual units, k3-s1 SamePadConv3D head to out_channels."""
+
+    cfg: VQVAEConfig
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = True) -> jax.Array:
+        cfg = self.cfg
+        rev = list(reversed(cfg.num_channels))
+        x = shard_spatial(x)
+        x = conv3d(cfg.quantizer.embedding_dim, 1, dtype=self.dtype,
+                   name="post_vq")(x)
+        x = Norm("group", dtype=self.dtype, name="stem_norm")(x, training)
+        x = jax.nn.silu(x)
+        for i, ch in enumerate(rev[1:], start=1):
+            x = SamePadConvTranspose3D(ch, 4, stride=2, dtype=self.dtype,
+                                       name=f"up_{i}")(x)
+            x = SymResidualUnit(ch, dropout=cfg.dropout, dtype=self.dtype,
+                                name=f"res_{i}_1")(x, training)
+            x = SymResidualUnit(ch, dropout=cfg.dropout, dtype=self.dtype,
+                                name=f"res_{i}_2")(x, training)
+            x = shard_spatial(x)
+        return SamePadConv3D(cfg.out_channels, 3, dtype=self.dtype,
+                             name="head")(x)
+
+
 class StrideEncoder(nn.Module):
     """'stride' variant encoder: residual units BEFORE each conv, conv
     stride 1, downsampling by AveragePooling3D(2)
@@ -254,7 +399,8 @@ class VQGANAutoencoder(nn.Module):
     """Encoder -> quantizer -> decoder (generator side). The architecture
     family comes from cfg.arch: 'attn_cp' (GroupNorm/SiLU), 'monai'
     (vqgan.py/vqgan_gnorm.py: the MONAI autoencoder of models/vqvae.py with
-    the configured norm/act), or 'stride' (avgpool/upsample)."""
+    the configured norm/act), 'stride' (avgpool/upsample), or 'attn'
+    (SYMMETRIC-pad SamePadConv3D family, vqgan_attn.py)."""
 
     cfg: VQVAEConfig
     dtype: Any = jnp.bfloat16
@@ -267,6 +413,9 @@ class VQGANAutoencoder(nn.Module):
         elif self.cfg.arch == "stride":
             self.encoder = StrideEncoder(self.cfg, dtype=self.dtype)
             self.decoder = StrideDecoder(self.cfg, dtype=self.dtype)
+        elif self.cfg.arch == "attn":
+            self.encoder = AttnEncoder(self.cfg, dtype=self.dtype)
+            self.decoder = AttnDecoder(self.cfg, dtype=self.dtype)
         else:
             self.encoder = VQGANEncoder(self.cfg, dtype=self.dtype)
             self.decoder = VQGANDecoder(self.cfg, dtype=self.dtype)

@@ -55,7 +55,7 @@ def test_unet3d_segment():
     assert out["x_out"].shape == x.shape
 
 
-@pytest.mark.parametrize("arch", ["attn_cp", "monai", "stride"])
+@pytest.mark.parametrize("arch", ["attn_cp", "monai", "stride", "attn"])
 def test_vqgan_autoencoder_arch_variants(arch):
     cfg = VQVAEConfig(
         in_channels=2, out_channels=2, num_channels=(4, 8),
