@@ -18,6 +18,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
+# Persistent compilation cache: on this single-core box XLA:CPU compilation
+# dominates suite wall-clock (fast tier measured 22 min cold). Identical
+# (HLO, flags) re-runs hit the disk cache instead, cutting repeat runs to
+# the actual test compute. Safe across processes (orbax-style atomic
+# writes); keyed on backend+HLO so TPU runs never collide with it.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 
 def pytest_configure(config):
     config.addinivalue_line(
