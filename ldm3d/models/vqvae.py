@@ -71,6 +71,45 @@ def _res_unit(cfg: VQVAEConfig):
     return VQVAEResidualUnit
 
 
+def space_to_depth3d(x: jax.Array, r: int = 2) -> jax.Array:
+    """[B, D, H, W, C] -> [B, D/r, H/r, W/r, r^3*C], parity-major channel
+    order (qd, qh, qw, c). Pure reshape/transpose — XLA lowers it to a
+    layout change, no compute."""
+    b, d, h, w, c = x.shape
+    x = x.reshape(b, d // r, r, h // r, r, w // r, r, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(b, d // r, h // r, w // r, r * r * r * c)
+
+
+class S2DStemConv(nn.Module):
+    """Space-to-depth stem: the exact function class of a k4-s2 SAME conv,
+    reparameterized as zero-pad(1,1) -> space-to-depth(2) -> k2-s1 VALID
+    conv. TPU lever for the thin-channel padding gap (VERDICT r3 next-5):
+    the 2-channel 128^3 input becomes 16-channel 64^3, filling vector
+    lanes 8x better and cutting the stem's im2col window from 64 taps to 8.
+
+    Exactness: SAME k4-s2 output position m reads padded input 2m..2m+3;
+    with parities x_q[t] = xp[2t+q] that window is {(t', q): u = 2t'+q},
+    a bijection onto the k2 window over 8x channels — so any k4-s2 kernel
+    w maps to w2[t', (q, c), o] = w[2t'+q, c, o] and conversely
+    (tests/test_s2d_stem.py pins bit-level equivalence both ways)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        assert all(s % 2 == 0 for s in x.shape[1:4]), \
+            "S2DStemConv requires even spatial dims (SAME k4-s2 parity)"
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+        x = space_to_depth3d(x, 2)
+        return nn.Conv(self.features, (2, 2, 2), padding="VALID",
+                       use_bias=self.use_bias, dtype=self.dtype,
+                       kernel_init=nn.initializers.glorot_uniform(),
+                       name="conv")(x)
+
+
 class Encoder(nn.Module):
     """reference networks/vqvae3d_monai.py:237-306."""
 
@@ -82,9 +121,13 @@ class Encoder(nn.Module):
         cfg = self.cfg
         x = shard_spatial(x)
         for i, ch in enumerate(cfg.num_channels):
-            x = conv3d(ch, cfg.downsample_kernel[i],
-                       stride=cfg.downsample_stride[i], dtype=self.dtype,
-                       name=f"down_{i}")(x)
+            if (i == 0 and cfg.stem_s2d and cfg.downsample_kernel[0] == 4
+                    and cfg.downsample_stride[0] == 2):
+                x = S2DStemConv(ch, dtype=self.dtype, name="down_0")(x)
+            else:
+                x = conv3d(ch, cfg.downsample_kernel[i],
+                           stride=cfg.downsample_stride[i], dtype=self.dtype,
+                           name=f"down_{i}")(x)
             x = shard_spatial(x)
             if i > 0 and cfg.dropout:
                 x = nn.Dropout(cfg.dropout, deterministic=not training)(x)

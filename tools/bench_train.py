@@ -156,12 +156,18 @@ def bench_step(fn, state, args_fn, runs):
     return (time.perf_counter() - t0) / runs
 
 
-def bench_vqvae(batch, runs, remat=True, remat_policy="full", dtype=None):
+def bench_vqvae(batch, runs, remat=True, remat_policy="full", dtype=None,
+                s2d=False):
     from ldm3d.core.config import replace
     from ldm3d.core.presets import get_preset
     from ldm3d.train.vq_trainer import VQTrainer
 
     cfg = get_preset("vqvae_b8_all")
+    if s2d:
+        # thin-channel padding lever (VERDICT r3 next-5): exact
+        # space-to-depth stem reparameterization (ldm3d/models/vqvae.py::
+        # S2DStemConv) — 2-ch 128^3 stem becomes 16-ch 64^3
+        cfg = replace(cfg, vqvae=replace(cfg.vqvae, stem_s2d=True))
     if dtype:
         # HBM-bandwidth lever (VERDICT r3 next-5): the VQ step is memory-
         # bound (AI ~25 << ridge 241); bf16 activations halve the traffic
@@ -191,6 +197,7 @@ def bench_vqvae(batch, runs, remat=True, remat_policy="full", dtype=None):
         "metric": "vqvae_b8_train_step_128^3",
         "value": round(dt, 4), "unit": "s/step",
         "batch": batch, "remat": remat, "dtype": dtype or "preset",
+        "stem_s2d": s2d,
         "remat_policy": remat_policy if remat else None,
         "s_per_volume": round(s_per_vol, 4),
         **_attribution(dt),
@@ -337,6 +344,9 @@ def main():
                     help="bench the --cache_latents DM step (dm only)")
     ap.add_argument("--dtype", choices=["bfloat16", "float32"], default=None,
                     help="override train dtype (vq only; bandwidth lever)")
+    ap.add_argument("--s2d_stem", action="store_true",
+                    help="space-to-depth stem lever (vq only; exact k4-s2 "
+                         "reparameterization, tests/test_s2d_stem.py)")
     ap.add_argument("--xla_flags", default=None,
                     help="extra XLA_FLAGS for this process (MFU lever A/B, "
                     "e.g. '--xla_tpu_enable_latency_hiding_scheduler=true'); "
@@ -356,7 +366,8 @@ def main():
             return
     if args.only in (None, "vq"):
         bench_vqvae(args.batch, args.runs, remat=not args.no_remat,
-                    remat_policy=args.remat_policy, dtype=args.dtype)
+                    remat_policy=args.remat_policy, dtype=args.dtype,
+                    s2d=args.s2d_stem)
     if args.only in (None, "dm"):
         bench_dm(args.batch, args.runs, on_latents=args.dm_latents)
     if args.only == "gan":
