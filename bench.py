@@ -1,4 +1,4 @@
-"""Headline benchmark: 1000-step conditional 128^3 MRI sample + VQ decode on
+"""Headline benchmark: full-T conditional 128^3 MRI sample + VQ decode on
 one chip — the north-star metric from BASELINE.md.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -6,7 +6,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the reference never instrumented sampling (an eager Python loop of
 T U-Net calls, networks/dm3d.py:510-532); BASELINE.json sets the bar at
 < 10 s per 1000-step 128^3 sample+decode on one v5e chip, i.e. 6 volumes/min.
-vs_baseline is measured volumes/min/chip divided by that 6 vol/min bar.
+The flagship recipe is T=500 (the reference's own conditional setting,
+sb_cond_dm3d.sbatch, chosen by the round-4 recipe sweep), so the bar is
+scaled per-U-Net-step: vs_baseline = measured volumes/min divided by
+6 vol/min * (1000 / T) — halving T never inflates the headline number.
 """
 
 from __future__ import annotations
@@ -43,7 +46,7 @@ def _restore_trained(trainer, state):
     """Restore end-to-end-trained flagship weights when present.
 
     The quality pipeline (RUNBOOK.md) trains the flagship conditional LDM
-    (stage-1 vqvae_dm_stage1 + stage-2 conditional_dm3d --timesteps 1000)
+    (stage-1 vqvae_dm_stage1 + stage-2 conditional_dm3d, T=500 eps)
     into runs/ckpt_flagship/flagship_dm; when that checkpoint exists the
     benchmark measures sampling from *trained* weights rather than random
     init (same program either way; VERDICT r1 'weak #1')."""
@@ -115,11 +118,13 @@ def main():
     elapsed = time.perf_counter() - start
 
     vols_per_min = runs * batch / elapsed * 60.0
+    bar = BASELINE_VOL_PER_MIN * (1000.0 / cfg.timesteps)
     line = {
-        "metric": "cond_128^3_sample_decode_1000step_volumes_per_min_per_chip",
+        "metric": (f"cond_128^3_sample_decode_{cfg.timesteps}step_"
+                   "volumes_per_min_per_chip"),
         "value": round(vols_per_min, 3),
         "unit": "volumes/min/chip",
-        "vs_baseline": round(vols_per_min / BASELINE_VOL_PER_MIN, 3),
+        "vs_baseline": round(vols_per_min / bar, 3),
         "trained_weights": trained,
     }
     line.update(_flagship_fidelity())

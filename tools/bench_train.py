@@ -227,11 +227,11 @@ def bench_dm(batch, runs, on_latents=False):
         # tests/test_dm_trainer.py::test_cached_latent_step_matches)
         x = trainer.encode_latents(state, vol)
         fn = trainer.train_step_latents
-        metric = "conditional_dm_train_step_cached_latents_T1000"
+        metric = f"conditional_dm_train_step_cached_latents_T{cfg.timesteps}"
     else:
         x = vol
         fn = trainer.train_step
-        metric = "conditional_dm_train_step_128^3_T1000"
+        metric = f"conditional_dm_train_step_128^3_T{cfg.timesteps}"
     abs_state = _abstract(state)
     dt = bench_step(fn, state, lambda i: (x, ctx), runs)
     s_per_vol = dt / batch
@@ -286,7 +286,7 @@ def bench_gan(batch, runs):
 
 
 def bench_sample(batch, runs):
-    """Roofline of the headline program itself: the fused 1000-step
+    """Roofline of the headline program itself: the fused full-T
     conditional sample + VQ decode (bench.py measures its throughput; this
     attributes it — the 8^3-latent U-Net chain is tiny-tensor/launch-bound,
     so its MFU floor explains why batching to 16+ is the lever)."""
@@ -311,14 +311,16 @@ def bench_sample(batch, runs):
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / runs
     rl = step_roofline(fn, dt, _abstract(state), jax.random.PRNGKey(1), ctx)
+    # per-U-Net-step-scaled bar: 10 s/volume was set for T=1000
+    bar_s_per_vol = 10.0 * cfg.timesteps / 1000.0
     print(json.dumps({
-        "metric": "cond_sample_decode_1000step_128^3",
+        "metric": f"cond_sample_decode_{cfg.timesteps}step_128^3",
         "value": round(dt, 4), "unit": "s/batch", "batch": batch,
         "s_per_volume": round(dt / batch, 4),
         **_attribution(dt),
         **{k: round(v, 4) if isinstance(v, float) else v
            for k, v in rl.items()},
-        "vs_baseline": round(10.0 / (dt / batch), 1),
+        "vs_baseline": round(bar_s_per_vol / (dt / batch), 1),
     }))
 
 
