@@ -58,6 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "device from PRNG keys (bit-identical to the f16 "
                         "cache, zero host->device volume transfers)")
     p.add_argument("--num_synthetic", type=int, default=24)
+    p.add_argument("--num_classes", type=int, default=None,
+                   help="synthetic-corpus class count (2 = original "
+                        "healthy/tumor corpus; 4 adds globally distinct "
+                        "classes so conditioning is learnable). Also sizes "
+                        "the conditional U-Net's context embedding")
     p.add_argument("--volume_size", type=int, default=None)
     # training (reference main.py:479-502)
     p.add_argument("--lr", type=float, default=None)
@@ -268,6 +273,15 @@ def apply_overrides(cfg, args):
         data = replace(data, augment=True)
     if args.test_run:
         data = replace(data, test_run=True)
+    if getattr(args, "num_classes", None) is not None:
+        data = replace(data, num_classes=args.num_classes)
+        if cfg.diffusion is not None and cfg.diffusion.unet.context_dim:
+            # context token ids run 0..num_classes-1; the embedding table
+            # is context_dim+1 rows (+ null when cfg_dropout>0),
+            # unet3d.py:246-249
+            cfg = replace(cfg, diffusion=replace(
+                cfg.diffusion, unet=replace(cfg.diffusion.unet,
+                                            context_dim=args.num_classes - 1)))
     cfg = replace(cfg, data=data)
 
     vq = cfg.vqvae
@@ -358,7 +372,8 @@ def _loaders(cfg, args, mesh=None):
     manifest = os.path.join(cache_dir, "manifest.json")
     if args.synthetic and not os.path.exists(manifest):
         write_synthetic_cache(cache_dir, args.num_synthetic,
-                              cfg.data.volume_size, seed=cfg.train.seed)
+                              cfg.data.volume_size, seed=cfg.train.seed,
+                              num_classes=cfg.data.num_classes)
     if not os.path.exists(manifest):
         raise SystemExit(
             f"no cache at {cache_dir}: run --create_dataset first "
@@ -929,7 +944,8 @@ def run_create_dataset(cfg, args):
     from ldm3d.data.pipeline import build_cache, write_synthetic_cache
     if args.synthetic:
         write_synthetic_cache(cfg.data.cache_dir, args.num_synthetic,
-                              cfg.data.volume_size, seed=cfg.train.seed)
+                              cfg.data.volume_size, seed=cfg.train.seed,
+                              num_classes=cfg.data.num_classes)
         print(f"synthetic cache at {cfg.data.cache_dir}")
     else:
         build_cache(cfg.data)

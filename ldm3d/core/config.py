@@ -294,6 +294,10 @@ class DataConfig:
     # widening on device is numerically exact and halves input bandwidth
     # (PCIe on real hosts, the relay here)
     transfer_dtype: str = "float16"    # "float16" | "float32"
+    # synthetic-corpus class count (ldm3d/data/synthetic.py): 2 = the
+    # original healthy/tumor corpus (bit-identical); 4 adds globally
+    # distinct classes so conditioning is learnable/measurable
+    num_classes: int = 2
 
 
 @dataclass(frozen=True)

@@ -64,7 +64,8 @@ def build_cache(cfg: DataConfig, paths: Optional[Sequence[str]] = None,
 
 
 def write_synthetic_cache(cache_dir: str, num_volumes: int, size: int = 64,
-                          seed: int = 0, gen_batch: int = 8) -> str:
+                          seed: int = 0, gen_batch: int = 8,
+                          num_classes: int = 2) -> str:
     """Materialize a synthetic cache (for tests/benchmarks without data).
 
     Volumes are generated in jitted batches of `gen_batch` — one compiled
@@ -78,7 +79,8 @@ def write_synthetic_cache(cache_dir: str, num_volumes: int, size: int = 64,
     os.makedirs(cache_dir, exist_ok=True)
     entries = []
     rng = jax.random.PRNGKey(seed)
-    gen = jax.jit(functools.partial(synthetic_batch, size=size),
+    gen = jax.jit(functools.partial(synthetic_batch, size=size,
+                                    num_classes=num_classes),
                   static_argnames=("batch",))
     for start in range(0, num_volumes, gen_batch):
         b = min(gen_batch, num_volumes - start)
@@ -93,7 +95,8 @@ def write_synthetic_cache(cache_dir: str, num_volumes: int, size: int = 64,
             entries.append({"stem": stem, "context": int(ctx[j]),
                             "source": "synthetic"})
     with open(os.path.join(cache_dir, MANIFEST), "w") as f:
-        json.dump({"entries": entries, "volume_size": size}, f)
+        json.dump({"entries": entries, "volume_size": size,
+                   "num_classes": num_classes}, f)
     return cache_dir
 
 
@@ -344,7 +347,8 @@ class DeviceSyntheticLoader:
         root = jax.random.PRNGKey(self.corpus_seed)
         fn = functools.partial(synthetic_volumes_at, root,
                                size=self.cfg.volume_size,
-                               gen_batch=self.gen_batch)
+                               gen_batch=self.gen_batch,
+                               num_classes=self.cfg.num_classes)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from ldm3d.parallel.mesh import DATA_AXIS, batch_sharding

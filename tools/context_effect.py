@@ -26,18 +26,28 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", default="runs/ckpt_flagship/flagship_dm")
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--num_classes", type=int, default=2,
+                    help="class count the checkpoint was trained with "
+                         "(sizes the context embedding: context_dim = n-1)")
+    ap.add_argument("--context_in_time", action="store_true",
+                    help="checkpoint trained with the context-in-time "
+                         "pathway (changes the parameter structure)")
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/ldm3d_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from __graft_entry__ import _flagship_cfg
-    from ldm3d.core.config import TrainConfig
+    from ldm3d.core.config import TrainConfig, replace
     from ldm3d.diffusion.schedule import model_out_to_eps
     from ldm3d.train.checkpoint import CheckpointManager
     from ldm3d.train.dm_trainer import DiffusionTrainer
 
     cfg = _flagship_cfg()
+    if args.num_classes != 2 or args.context_in_time:
+        cfg = replace(cfg, unet=replace(
+            cfg.unet, context_dim=args.num_classes - 1,
+            context_in_time=args.context_in_time))
     trainer = DiffusionTrainer(cfg, TrainConfig(batch_size=args.batch),
                                conditional=True)
     state = trainer.init_state(jax.random.PRNGKey(0), (1, 128, 128, 128, 1))
@@ -65,19 +75,26 @@ def main():
         return model_out_to_eps(trainer.sched, x, t, out,
                                 cfg.prediction_type)
 
-    print("#   t   |e0-e1|/|e0|   |e0-enull|/|e0|   |e1-enull|/|e0|")
+    ncls = args.num_classes
+    print(f"# T={cfg.timesteps}  classes={ncls}  "
+          f"context_in_time={args.context_in_time}")
+    print("#   t   mean-pairwise |ec-ec'|/|e0|    mean |ec-enull|/|e0|")
     rng = jax.random.PRNGKey(42)
-    for tval in [50, 250, 500, 750, 950]:
+    T = cfg.timesteps
+    for frac in [0.1, 0.25, 0.5, 0.75, 0.95]:
+        tval = int(frac * (T - 1))
         rng, sub = jax.random.split(rng)
         x = jax.random.normal(sub, (b, ls, ls, ls, lc))
         t = jnp.full((b,), tval, jnp.int32)
-        e0 = eps_for(x, t, jnp.zeros((b,), jnp.int32))
-        e1 = eps_for(x, t, jnp.ones((b,), jnp.int32))
+        eps = [eps_for(x, t, jnp.full((b,), c, jnp.int32))
+               for c in range(ncls)]
         en = eps_for(x, t, jnp.full((b,), null_tok, jnp.int32))
-        n0 = jnp.linalg.norm(e0)
-        print(f"  {tval:4d}  {jnp.linalg.norm(e0 - e1) / n0:.5f}        "
-              f"{jnp.linalg.norm(e0 - en) / n0:.5f}           "
-              f"{jnp.linalg.norm(e1 - en) / n0:.5f}")
+        n0 = jnp.linalg.norm(eps[0])
+        pair = [float(jnp.linalg.norm(eps[a] - eps[c]) / n0)
+                for a in range(ncls) for c in range(a + 1, ncls)]
+        vnull = [float(jnp.linalg.norm(e - en) / n0) for e in eps]
+        print(f"  {tval:4d}        {sum(pair) / len(pair):.5f}       "
+              f"         {sum(vnull) / len(vnull):.5f}")
 
     # and the embedding table itself: are the three rows distinct?
     emb = None
