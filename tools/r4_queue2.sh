@@ -24,6 +24,25 @@ echo "[r4q2] waiting for main queue (/tmp/r4_all_rc) $(date -u +%H:%M:%S)"
 while [ ! -f /tmp/r4_all_rc ]; do sleep 60; done
 echo "[r4q2] main queue done, starting $(date -u +%H:%M:%S)"
 
+# Redo of the phase-3 arm-A by-class sweep: the original failed on a
+# mixed-version import (the long-lived queue process lazily imported the
+# newly-edited pipeline.py against an already-imported old config.py,
+# runs/r4_byclass_A.log AttributeError). Fresh process = consistent code.
+echo "[r4q2] arm A (2-class) sweep redo $(date -u +%H:%M:%S)"
+timeout 4500 python -m ldm3d.cli.main --preset conditional_dm3d \
+  --norm group --synthetic --device_data --num_synthetic 1232 \
+  --cache_dir runs/corpus128 --val_perc 0.1 --lbs 8 --timesteps 500 \
+  --cfg_dropout 0.1 --ema_decay 0.999 --fidelity_sweep \
+  --fidelity_by_class --fidelity_samples 64 \
+  --sweep_samplers "ddpm,ddim:50" --guidance_grid "none,3.0" \
+  --ckpt_dir runs/ckpt_flagship --suffix flagship \
+  --out_dir reports/quality_r4/conditioning/armA \
+  > runs/r4_byclass_A_redo.log 2>&1 || true
+timeout 300 python tools/conditioning_ab.py \
+  "xattn-only=reports/quality_r4/conditioning/armA/fidelity_sweep_flagship.json" \
+  "context-in-time=reports/quality_r4/conditioning/armB/fidelity_sweep_flagship.json" \
+  --out reports/quality_r4/conditioning_ab.md 2>/dev/null || true
+
 COMMON="--synthetic --device_data --num_synthetic 1232 --num_classes 4 \
   --cache_dir runs/corpus128 --val_perc 0.1"
 DM="--preset conditional_dm3d --norm group $COMMON --lbs 8 \
