@@ -107,6 +107,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "VQGAN-paper adaptive lambda = "
                         "||grad_rec||/||grad_adv|| (stabilizes the "
                         "adversarial phase; beyond-reference)")
+    p.add_argument("--adaptive_g_max", type=float, default=None,
+                   help="clamp for the adaptive lambda (default 1e4; the "
+                        "round-4 collapse had lambda~53, so a tight clamp "
+                        "like 2.0 is a stabilizer lever)")
+    p.add_argument("--g_adv_delay", type=int, default=None,
+                   help="epochs after disc_threshold during which ONLY the "
+                        "critics train (generator adversarial+feat terms "
+                        "stay off) so lambda sees trained-critic gradients")
     p.add_argument("--r1_gamma", type=float, default=None,
                    help="R1 gradient-penalty weight on the critics' real "
                         "inputs (gamma/2 * E||grad_x D(x)||^2; Lipschitz "
@@ -333,6 +341,12 @@ def apply_overrides(cfg, args):
     if getattr(args, "r1_gamma", None) is not None:
         cfg = replace(cfg, vqgan=replace(cfg.vqgan,
                                          r1_gamma=args.r1_gamma))
+    if getattr(args, "adaptive_g_max", None) is not None:
+        cfg = replace(cfg, vqgan=replace(cfg.vqgan,
+                                         adaptive_g_max=args.adaptive_g_max))
+    if getattr(args, "g_adv_delay", None) is not None:
+        cfg = replace(cfg, vqgan=replace(cfg.vqgan,
+                                         g_adv_delay=args.g_adv_delay))
 
     if args.ckpt_dir is not None:
         cfg = replace(cfg, ckpt_dir=args.ckpt_dir)

@@ -154,6 +154,11 @@ class VQGANConfig:
     # --adaptive_gan_weight.
     adaptive_g_weight: bool = False
     adaptive_g_max: float = 1e4        # clip for lambda (paper uses 1e4)
+    # generator-side adversarial delay: g_adv (+ feature matching) stays
+    # off for this many epochs AFTER the critics start at disc_threshold,
+    # so lambda is computed against trained-critic gradients instead of
+    # init noise (the round-4 instant-collapse fix; 0 = reference timing)
+    g_adv_delay: int = 0
     # beyond-reference Lipschitz control for the critics: R1 gradient
     # penalty gamma/2 * E[||grad_x D(x)||^2] on REAL inputs (Mescheder et
     # al. 2018), applied to both the 3D and 2D critics once the

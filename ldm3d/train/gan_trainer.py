@@ -217,6 +217,15 @@ class GANTrainer:
 
         # -- adversarial paths --
         gate = (state.epoch >= cfg.disc_threshold).astype(jnp.float32)
+        # Generator-side adversarial gate: optionally delayed g_adv_delay
+        # epochs past the critics' start, so the critics see real/fake
+        # pairs and develop meaningful gradients BEFORE the generator
+        # starts chasing them. Motivation: with simultaneous start the
+        # round-4 adaptive-weight run collapsed within 2 epochs
+        # (val SSIM 0.88 -> 0.0004, lambda ~= 53 because ||grad_adv|| of
+        # an untrained critic is noise; reports/quality_r4/vqgan_ab.md).
+        g_gate = (state.epoch >= cfg.disc_threshold
+                  + cfg.g_adv_delay).astype(jnp.float32)
 
         # Discriminator path on REAL inputs first (training updates BN
         # stats); its intermediate features double as the feature-matching
@@ -336,8 +345,8 @@ class GANTrainer:
         ae_loss = (recon_loss
                    + aux.loss.astype(jnp.float32)
                    + cfg.lpips_wt * perceptual
-                   + gate * (cfg.gan_feat_wt * feat_loss
-                             + adv_w * g_adv))
+                   + g_gate * (cfg.gan_feat_wt * feat_loss
+                               + adv_w * g_adv))
 
         disc_loss = (self.d_loss(True, real_logits)
                      + self.d_loss(False, fake_logits)
@@ -384,14 +393,14 @@ class GANTrainer:
             "loss": ae_loss,
             "reconst_loss": recon_loss,
             "quantize_loss": aux.loss,
-            "gen_loss": gate * g_adv,
+            "gen_loss": g_gate * g_adv,
             "disc_loss": disc_loss,
-            "gan_feat_loss": gate * feat_loss,
+            "gan_feat_loss": g_gate * feat_loss,
             "perceptual_loss": perceptual,
             "perplexity": aux.perplexity,
         }
         if cfg.adaptive_g_weight:
-            metrics["adaptive_weight"] = gate * adv_w
+            metrics["adaptive_weight"] = g_gate * adv_w
         if cfg.r1_gamma > 0:
             metrics["r1_penalty"] = gate * r1
         updates = {"vq_stats": ae_updates.get("vq_stats", state.vq_stats),

@@ -315,6 +315,39 @@ def test_adaptive_gan_weight_scales_adversarial_term():
     assert float(mw["adaptive_weight"]) == 0.0
 
 
+def test_g_adv_delay_staggers_generator_start():
+    """--g_adv_delay N: in [threshold, threshold+N) the critics train
+    (disc_loss > 0, params move) while the generator's adversarial and
+    feature-matching terms stay off (gen_loss == gan_feat_loss ==
+    adaptive_weight == 0); at threshold+N the generator terms switch on.
+    (Round-4 instant-collapse fix: lambda computed against untrained
+    critics was ~53, reports/quality_r4/vqgan_ab.md.)"""
+    from ldm3d.core.config import replace
+
+    cfg = replace(tiny_gan_cfg(disc_threshold=0), adaptive_g_weight=True,
+                  g_adv_delay=2)
+    trainer = GANTrainer(cfg, train_cfg())
+    vol, mask, _ = synthetic_batch(jax.random.PRNGKey(0), 2, 16)
+    state = trainer.init_state(jax.random.PRNGKey(1), (2, 16, 16, 16, 2))
+
+    d0 = jax.tree_util.tree_leaves(state.params["disc3d"])[0].copy()
+    # epochs 0 and 1: critics-only
+    for _ in range(2):
+        state, m = trainer.train_step(state, vol, mask)
+        assert float(m["disc_loss"]) > 0.0
+        assert float(m["gen_loss"]) == 0.0
+        assert float(m["gan_feat_loss"]) == 0.0
+        assert float(m["adaptive_weight"]) == 0.0
+        state = trainer.next_epoch(state)
+    d1 = jax.tree_util.tree_leaves(state.params["disc3d"])[0]
+    assert float(jnp.abs(d1 - d0).max()) > 0.0, "critics did not train"
+
+    # epoch 2 = threshold + delay: generator adversarial terms on
+    state, m = trainer.train_step(state, vol, mask)
+    assert float(m["adaptive_weight"]) > 0.0
+    assert float(m["gen_loss"]) != 0.0 or float(m["gan_feat_loss"]) > 0.0
+
+
 def test_r1_penalty_bounds_critic_slope():
     """--r1_gamma: R1 gradient penalty (Mescheder et al. 2018) on the
     critics' REAL inputs is added to the discriminator loss post-threshold,
