@@ -189,7 +189,12 @@ def _flagship_fidelity():
                 if (best_ep is None or int(rec.get("step", -2)) + 1 == best_ep
                         or not out):
                     out = {"latent_fid": round(rec["latent_fid"], 2),
-                           "latent_fid_epoch": int(rec.get("step", -1)) + 1}
+                           "latent_fid_epoch": int(rec.get("step", -1)) + 1,
+                           # the training-loop fidelity probe samples with
+                           # deterministic DDIM at full T (cli/main.py
+                           # epoch_callback); sweep tables score other
+                           # samplers — don't cross-compare
+                           "latent_fid_sampler": "ddim-T"}
                     if "fid_class_sep" in rec:
                         out["fid_class_sep"] = round(rec["fid_class_sep"], 3)
                     if "latent_mmd" in rec:
