@@ -593,7 +593,8 @@ def run_train_dm(cfg, args):
         f = cfg.diffusion.vqvae.spatial_factor
         lat = (1, size // f, size // f, size // f,
                cfg.diffusion.latent_channels)
-        contexts = [0, 1] if cfg.model == "conditional_dm" else [None]
+        contexts = (list(range(cfg.diffusion.unet.context_dim + 1))
+                    if cfg.model == "conditional_dm" else [None])
 
         def render(state):
             # the trainer caches the compiled sampler per shape, so only
@@ -730,7 +731,8 @@ def run_test_dm(cfg, args):
     lat = size // f
     shape = (4, lat, lat, lat, cfg.diffusion.latent_channels)
     os.makedirs(args.out_dir, exist_ok=True)
-    contexts = [0, 1] if cfg.model == "conditional_dm" else [None]
+    contexts = (list(range(cfg.diffusion.unet.context_dim + 1))
+                if cfg.model == "conditional_dm" else [None])
     for ctx in contexts:
         out = trainer.generate(state, jax.random.PRNGKey(7), shape,
                                context_value=ctx, sampler=args.sampler,

@@ -436,7 +436,14 @@ class DiffusionTrainer:
         on the frozen stage-1 params, so features cached at epoch 0 stay
         valid for the whole DM run."""
         from ldm3d.ops.fid import pool_latent_features
-        return pool_latent_features(self.encode_latents(state, images))
+        lat = self.encode_latents(state, images)
+        if self.cfg.latent_scale != 1.0:
+            # feature space stays the RAW quantized-codebook range whatever
+            # latent_scale the run trains with: Frechet distance scales with
+            # feature scale^2, so unscaled features keep FID numbers
+            # comparable across latent_scale recipes
+            lat = lat / self.cfg.latent_scale
+        return pool_latent_features(lat)
 
     def fidelity_eval(self, state: TrainState, real_feats, rng,
                       num_samples: int = 64, batch: int = 16,
@@ -468,7 +475,12 @@ class DiffusionTrainer:
 
         ls = self.cfg.latent_size
         shape = (batch, ls, ls, ls, self.cfg.latent_channels)
-        contexts = [0, 1] if self.conditional else [None]
+        # every class id the embedding knows (0..context_dim) — hard-coding
+        # [0, 1] silently dropped classes >= 2 on multi-class corpora, which
+        # biased fid_class_sep negative (generated set then under-covers the
+        # real distribution for every "cross" slice)
+        contexts = (list(range(self.cfg.unet.context_dim + 1))
+                    if self.conditional else [None])
         per = max(num_samples // len(contexts), 1)
         feats_by_ctx = {c: [] for c in contexts}
         for c in contexts:
@@ -480,6 +492,9 @@ class DiffusionTrainer:
                                      sample_steps=sample_steps, eta=eta,
                                      guidance_scale=guidance_scale)
                 n = min(batch, per - done)
+                if self.cfg.latent_scale != 1.0:
+                    # same scale-free feature space as latent_features()
+                    lats = lats / self.cfg.latent_scale
                 feats_by_ctx[c].append(pool_latent_features(lats[:n]))
                 done += n
         gen_all = np.concatenate(
