@@ -150,3 +150,60 @@ def test_fidelity_eval_by_class_reports_separation():
     s3 = tr.fidelity_eval(state, real_feats, jax.random.PRNGKey(1),
                           num_samples=8, batch=4)
     assert not any(k.startswith("fid_") for k in s3)
+
+
+def test_fidelity_eval_covers_every_class():
+    """Multi-class conditional model: fidelity_eval must sample EVERY
+    class id the embedding knows (0..context_dim), not the hard-coded
+    [0, 1] that silently dropped classes >= 2 on the 4-class corpus and
+    biased fid_class_sep negative (runs/r4_c4_sweep_B.log)."""
+    from ldm3d.core.config import replace
+    from ldm3d.train.dm_trainer import DiffusionTrainer
+    from tests.test_dm_trainer import tiny_diffusion_cfg, train_cfg
+
+    cfg = tiny_diffusion_cfg(conditional=True, timesteps=4)
+    cfg = replace(cfg, unet=replace(cfg.unet, context_dim=3))  # 4 classes
+    tr = DiffusionTrainer(cfg, train_cfg(), conditional=True)
+    state = tr.init_state(jax.random.PRNGKey(0), (2, 16, 16, 16, 1))
+
+    rng = np.random.default_rng(0)
+    d = 2 * cfg.latent_channels
+    real_feats = np.concatenate(
+        [gaussian(rng, 16, d, mu=5.0 * c, sigma=0.05) for c in range(4)])
+    real_ctx = np.repeat(np.arange(4), 16)
+
+    seen = []
+
+    def fake_generate(state, sub, shape, context_value=None, **kw):
+        seen.append(int(context_value))
+        return jax.numpy.full(shape, 5.0 * float(context_value))
+
+    tr.generate = fake_generate
+    scores = tr.fidelity_eval(state, real_feats, jax.random.PRNGKey(1),
+                              num_samples=8, batch=2, real_ctx=real_ctx)
+    assert sorted(set(seen)) == [0, 1, 2, 3]
+    for c in range(4):
+        assert f"fid_same_c{c}" in scores and f"fid_cross_c{c}" in scores
+    # the token-respecting fake generator separates all four classes
+    assert scores["fid_class_sep"] > 10.0
+
+
+def test_latent_features_scale_free():
+    """FID feature space must not move with latent_scale: Frechet distance
+    scales ~ feature_scale^2, so scaled features would make FID numbers
+    incomparable across latent_scale recipes (the round-4 conditioning-v3
+    runs train at scale 20.834 and are compared against scale-1 rows)."""
+    from ldm3d.core.config import replace
+    from ldm3d.train.dm_trainer import DiffusionTrainer
+    from tests.test_dm_trainer import tiny_diffusion_cfg, train_cfg
+
+    cfg1 = tiny_diffusion_cfg(conditional=True, timesteps=4)
+    cfg20 = replace(cfg1, latent_scale=20.0)
+    tr1 = DiffusionTrainer(cfg1, train_cfg(), conditional=True)
+    tr20 = DiffusionTrainer(cfg20, train_cfg(), conditional=True)
+    state = tr1.init_state(jax.random.PRNGKey(0), (2, 16, 16, 16, 1))
+
+    vols = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 16, 1))
+    f1 = np.asarray(tr1.latent_features(state, vols))
+    f20 = np.asarray(tr20.latent_features(state, vols))
+    np.testing.assert_allclose(f20, f1, rtol=1e-5, atol=1e-6)
