@@ -536,6 +536,57 @@ def _dm_trainer(cfg, args, mesh):
                             conditional=conditional)
 
 
+def _adopt_dm_meta(cfg, args):
+    """Adopt a trained DM checkpoint's sampling invariants from its
+    train_meta.json (written by run_train_dm) for every flag the user did
+    NOT pass: latent_scale (run-dependent under the auto default),
+    clip_sample_range, timesteps, prediction_type, context_in_time,
+    cfg_dropout, ema_decay. Restoring a checkpoint with a different
+    latent_scale than it trained with silently degrades every sample —
+    the meta file makes the correct value the default."""
+    import json
+
+    from ldm3d.core.config import replace
+
+    path = os.path.join(_ckpt_dir(cfg, "dm"), "train_meta.json")
+    if not os.path.exists(path):
+        return cfg
+    try:
+        with open(path) as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        return cfg
+    diff, unet, train = cfg.diffusion, cfg.diffusion.unet, cfg.train
+    adopted = []
+    if args.latent_scale is None and "latent_scale" in meta:
+        diff = replace(diff, latent_scale=float(meta["latent_scale"]))
+        adopted.append(f"latent_scale={meta['latent_scale']:.4f}")
+    if args.clip_sample_range is None and "clip_sample_range" in meta:
+        diff = replace(diff,
+                       clip_sample_range=float(meta["clip_sample_range"]))
+        adopted.append(f"clip_sample_range={meta['clip_sample_range']:g}")
+    if args.timesteps is None and "timesteps" in meta:
+        diff = replace(diff, timesteps=int(meta["timesteps"]))
+        adopted.append(f"timesteps={meta['timesteps']}")
+    if (getattr(args, "prediction_type", None) is None
+            and "prediction_type" in meta):
+        diff = replace(diff, prediction_type=meta["prediction_type"])
+    if (getattr(args, "context_in_time", None) is None
+            and meta.get("context_in_time")):
+        unet = replace(unet, context_in_time=True)
+        adopted.append("context_in_time")
+    if getattr(args, "cfg_dropout", None) is None and "cfg_dropout" in meta:
+        unet = replace(unet, cfg_dropout=float(meta["cfg_dropout"]))
+    if getattr(args, "ema_decay", None) is None and "ema_decay" in meta:
+        train = replace(train, ema_decay=float(meta["ema_decay"]))
+        if meta["ema_decay"]:
+            adopted.append(f"ema_decay={meta['ema_decay']:g}")
+    diff = replace(diff, unet=unet)
+    if adopted:
+        print("adopted from train_meta.json: " + ", ".join(adopted))
+    return replace(cfg, diffusion=diff, train=train)
+
+
 def run_train_dm(cfg, args):
     import jax
     from ldm3d.parallel.mesh import make_mesh
@@ -665,15 +716,6 @@ def run_train_dm(cfg, args):
         from ldm3d.data.pipeline import LatentLoader
         lat_all = jnp.concatenate(lats, axis=0)
         ctx_all = jnp.concatenate(ctxs, axis=0)
-        # Single device: fuse the whole epoch into ONE dispatched program
-        # (lax.scan over the permutation) — per-step dispatch through the
-        # TPU relay costs ~20-50x the 8^3-latent step program itself
-        # (DiffusionTrainer.train_epoch_latents). Multi-device keeps the
-        # per-step path (batches shard over 'data').
-        fused = mesh is None or mesh.devices.size == 1
-        train_loader = LatentLoader(lat_all, ctx_all, cfg.train.batch_size,
-                                    seed=cfg.train.seed, mesh=mesh,
-                                    fused=fused)
         lat_std = float(jnp.std(lat_all.astype(jnp.float32)))
         print(f"cache_latents: {lat_all.shape[0]} latents "
               f"{tuple(lat_all.shape[1:])} resident on device "
@@ -683,6 +725,40 @@ def run_train_dm(cfg, args):
               f"{cfg.diffusion.latent_scale:g} applied) — for "
               f"unit-variance latents train with --latent_scale "
               f"{cfg.diffusion.latent_scale / max(lat_std, 1e-8):.4f}")
+        # AUTO latent scale (default): with the reference's raw latents
+        # (std ~0.05 on the flagship stage-1) x_t is ~99.8% injected noise
+        # at EVERY timestep, so eps barely depends on the data — the root
+        # cause of every inert-conditioning result through round 4
+        # (NOTES_r4 "Session 2", VERDICT r4 next-1). Unless --latent_scale
+        # was passed explicitly (or the preset sets one), rescale the
+        # cached latents to unit variance (Rombach et al. 2022's
+        # scale_factor) and disable the [-1,1] sampler clip (1 sigma of a
+        # unit-variance latent) unless --clip_sample_range was given.
+        if (args.latent_scale is None and cfg.diffusion.latent_scale == 1.0
+                and abs(lat_std - 1.0) > 0.05 and lat_std > 1e-8):
+            from ldm3d.core.config import replace
+            new_scale = 1.0 / lat_std
+            new_clip = (args.clip_sample_range
+                        if args.clip_sample_range is not None else 0.0)
+            diff = replace(cfg.diffusion, latent_scale=new_scale,
+                           clip_sample_range=new_clip)
+            cfg = replace(cfg, diffusion=diff)
+            trainer = _dm_trainer(cfg, args, mesh)  # noqa: F841 rebinds the
+            # closure the fidelity epoch_callback and step_fn capture
+            lat_all = lat_all * jnp.asarray(new_scale, lat_all.dtype)
+            print(f"cache_latents: AUTO latent_scale {new_scale:.4f} "
+                  f"(corpus-derived; clip_sample_range -> {new_clip:g}). "
+                  f"Pass --latent_scale 1 to force raw reference behavior; "
+                  f"restore/serve adopt the value from train_meta.json.")
+        # Single device: fuse the whole epoch into ONE dispatched program
+        # (lax.scan over the permutation) — per-step dispatch through the
+        # TPU relay costs ~20-50x the 8^3-latent step program itself
+        # (DiffusionTrainer.train_epoch_latents). Multi-device keeps the
+        # per-step path (batches shard over 'data').
+        fused = mesh is None or mesh.devices.size == 1
+        train_loader = LatentLoader(lat_all, ctx_all, cfg.train.batch_size,
+                                    seed=cfg.train.seed, mesh=mesh,
+                                    fused=fused)
 
         def step_fn(state, batch):  # noqa: F811 - replaces the volume path
             if fused:
@@ -690,6 +766,21 @@ def run_train_dm(cfg, args):
                 return trainer.train_epoch_latents(state, lat, ctx, perm)
             lat, ctx = batch
             return trainer.train_step_latents(state, lat, ctx)
+
+    # Persist the checkpoint's train-time sampling invariants so
+    # --fidelity_sweep / --test_dm / serve / bench restore with the SAME
+    # latent_scale etc. even when the flags are omitted (the auto scale
+    # above makes the value run-dependent). See _adopt_dm_meta.
+    import json as _json
+    _meta = {"latent_scale": cfg.diffusion.latent_scale,
+             "clip_sample_range": cfg.diffusion.clip_sample_range,
+             "timesteps": cfg.diffusion.timesteps,
+             "prediction_type": cfg.diffusion.prediction_type,
+             "context_in_time": cfg.diffusion.unet.context_in_time,
+             "cfg_dropout": cfg.diffusion.unet.cfg_dropout,
+             "ema_decay": float(cfg.train.ema_decay)}
+    with open(os.path.join(logdir, "train_meta.json"), "w") as f:
+        _json.dump(_meta, f, indent=1)
 
     from ldm3d.train.loop import fit_with_recovery
     fit_fn = fit if not args.auto_resume else functools.partial(
@@ -717,6 +808,7 @@ def run_test_dm(cfg, args):
     from ldm3d.parallel.mesh import make_mesh
     from ldm3d.train.checkpoint import CheckpointManager
 
+    cfg = _adopt_dm_meta(cfg, args)
     mesh = make_mesh(cfg.train.mesh, batch_size=cfg.train.batch_size)
     size = cfg.data.volume_size
     trainer = _dm_trainer(cfg, args, mesh)
@@ -769,6 +861,7 @@ def run_fidelity_sweep(cfg, args):
     from ldm3d.parallel.mesh import make_mesh
     from ldm3d.train.checkpoint import CheckpointManager
 
+    cfg = _adopt_dm_meta(cfg, args)
     mesh = make_mesh(cfg.train.mesh, batch_size=cfg.train.batch_size)
     size = cfg.data.volume_size
     trainer = _dm_trainer(cfg, args, mesh)

@@ -62,6 +62,12 @@ def fit(trainer, state, train_loader, epochs: int,
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     last_metrics: Dict[str, float] = {}
+    # best-metric checkpoint pinning (VERDICT r4 next-5): the epoch with
+    # the best latent-FID (stage 2) / best val-PSNR (stage 1) is saved even
+    # off `ckpt_freq` and exempted from retention, so overtraining past the
+    # best model can never prune it. First matching metric wins.
+    _PIN_RULES = (("latent_fid", "min"), ("val_psnr", "max"))
+    best_pin: Dict[str, float] = {}
 
     for epoch in range(initial_epoch, epochs):
         t0 = time.time()
@@ -132,13 +138,34 @@ def fit(trainer, state, train_loader, epochs: int,
             metrics_logger(epoch, last_metrics)
         if image_logger is not None:
             image_logger(epoch, state)
-        if ckpt is not None and ((epoch + 1) % max(ckpt_freq, 1) == 0
+        pin = None
+        if ckpt is not None:
+            for name, mode in _PIN_RULES:
+                if name not in last_metrics:
+                    continue
+                v = last_metrics[name]
+                prev = best_pin.get(name)
+                if prev is None or (v < prev if mode == "min" else v > prev):
+                    best_pin[name] = v
+                    pin = f"best_{name}"
+                break
+        if ckpt is not None and (pin is not None
+                                 or (epoch + 1) % max(ckpt_freq, 1) == 0
                                  or epoch + 1 == epochs):
             # ckpt_freq > 1 trades recovery granularity for wall-clock:
             # with fused epochs the full-state device_get + orbax write is
-            # the dominant per-epoch cost (always saves the final epoch)
+            # the dominant per-epoch cost (always saves the final epoch).
+            # A new best-metric epoch always saves and pins (never pruned).
             monitor = last_metrics.get("val_loss", last_metrics.get("loss"))
-            ckpt.save(epoch + 1, jax.device_get(state), metric=monitor)
+            ckpt.save(epoch + 1, jax.device_get(state), metric=monitor,
+                      pin=pin)
+            if pin is not None:
+                # record the selection in the metric stream so bench /
+                # reports can see which epoch holds the best model
+                last_metrics["pinned_best"] = 1.0
+                if metrics_logger is not None:
+                    metrics_logger(epoch, {pin: best_pin[name],
+                                           "pinned_epoch": epoch + 1})
         if verbose:
             dt = time.time() - t0
             msg = " ".join(f"{k}={v:.5f}" for k, v in last_metrics.items()

@@ -155,6 +155,77 @@ def test_checkpoint_save_best_only(tmp_path):
     mgr.close()
 
 
+def test_checkpoint_pinned_epoch_survives_retention(tmp_path):
+    """A pinned best-metric epoch is never pruned by `keep`, and the pin
+    persists across manager restarts (VERDICT r4 weak #6: the round-4
+    flagship's best-FID epoch was silently pruned by keep=5)."""
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), keep=2)
+    st = jax.device_get(_tiny_state())
+    mgr.save(1, st)
+    mgr.save(3, st, pin="best_latent_fid")   # the best-FID epoch
+    for e in (5, 7, 9):
+        mgr.save(e, st)
+    mgr.wait()
+    assert mgr.pinned() == {"best_latent_fid": 3}
+    template = jax.tree_util.tree_map(np.zeros_like, st)
+    _, epoch = mgr.restore(template, 3)      # pinned: still restorable
+    assert epoch == 3
+    with pytest.raises(Exception):
+        mgr.restore(template, 5)             # unpinned old epoch: pruned
+    with pytest.raises(Exception):
+        mgr.restore(template, 1)
+    mgr.close()
+
+    # a fresh manager on the same dir keeps honoring the pin file
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt"), keep=2)
+    assert mgr2.pinned() == {"best_latent_fid": 3}
+    mgr2.save(11, st)
+    mgr2.wait()
+    _, epoch = mgr2.restore(template, 3)
+    assert epoch == 3
+    # re-pinning moves the slot; the old pin becomes prunable
+    mgr2.save(13, st, pin="best_latent_fid")
+    mgr2.save(15, st)
+    mgr2.save(17, st)
+    mgr2.wait()
+    with pytest.raises(Exception):
+        mgr2.restore(template, 3)
+    _, epoch = mgr2.restore(template, 13)
+    assert epoch == 13
+    mgr2.close()
+
+
+def test_fit_pins_best_metric_epoch(tmp_path):
+    """loop.fit saves + pins the best-val_psnr / best-latent_fid epoch
+    even when it falls off the ckpt_freq grid, and retention never drops
+    it."""
+    from ldm3d.train.loop import fit
+
+    class _Trainer:
+        def train_step(self, state, vol, mask):
+            return state, {"loss": jnp.asarray(0.0)}
+
+    psnr = {1: 30.0, 2: 35.0, 3: 31.0, 4: 29.0, 5: 28.0, 6: 27.0}
+
+    def epoch_callback(epoch, state):
+        return {"val_psnr": psnr[epoch + 1]}
+
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"), keep=1)
+    loader = [(jnp.zeros((1, 2)), jnp.zeros((1, 2)))]
+    state = jax.device_get(_tiny_state())
+    fit(_Trainer(), state, loader, 6, ckpt=ckpt, ckpt_freq=100,
+        epoch_callback=epoch_callback, verbose=False)
+    ckpt.wait()
+    # epoch 2 (best psnr) is pinned; epoch 6 (final) is the latest
+    assert ckpt.pinned() == {"best_val_psnr": 2}
+    template = jax.tree_util.tree_map(np.zeros_like, state)
+    _, e = ckpt.restore(template, 2)
+    assert e == 2
+    _, e = ckpt.restore(template)            # latest = final epoch
+    assert e == 6
+    ckpt.close()
+
+
 def test_fit_with_recovery_resumes_from_checkpoint(tmp_path):
     """A step that crashes mid-training is recovered from the latest
     checkpoint and training completes (SURVEY.md §5: the reference's only
