@@ -98,6 +98,10 @@ def _apply_meta(cfg, meta):
         unet = replace(unet, context_in_time=True)
     if "cfg_dropout" in meta:
         unet = replace(unet, cfg_dropout=float(meta["cfg_dropout"]))
+    if "context_dim" in meta:
+        # the flagship corpus is 4-class (context token 0..3 + null row);
+        # the embedding-table shape must match the checkpoint's
+        unet = replace(unet, context_dim=int(meta["context_dim"]))
     return replace(diff, unet=unet)
 
 

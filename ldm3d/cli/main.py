@@ -577,6 +577,11 @@ def _adopt_dm_meta(cfg, args):
         adopted.append("context_in_time")
     if getattr(args, "cfg_dropout", None) is None and "cfg_dropout" in meta:
         unet = replace(unet, cfg_dropout=float(meta["cfg_dropout"]))
+    if (getattr(args, "num_classes", None) is None
+            and "context_dim" in meta
+            and meta["context_dim"] != unet.context_dim):
+        unet = replace(unet, context_dim=int(meta["context_dim"]))
+        adopted.append(f"context_dim={meta['context_dim']}")
     if getattr(args, "ema_decay", None) is None and "ema_decay" in meta:
         train = replace(train, ema_decay=float(meta["ema_decay"]))
         if meta["ema_decay"]:
@@ -778,6 +783,7 @@ def run_train_dm(cfg, args):
              "prediction_type": cfg.diffusion.prediction_type,
              "context_in_time": cfg.diffusion.unet.context_in_time,
              "cfg_dropout": cfg.diffusion.unet.cfg_dropout,
+             "context_dim": cfg.diffusion.unet.context_dim,
              "ema_decay": float(cfg.train.ema_decay)}
     with open(os.path.join(logdir, "train_meta.json"), "w") as f:
         _json.dump(_meta, f, indent=1)

@@ -44,10 +44,11 @@ def main():
     from ldm3d.train.dm_trainer import DiffusionTrainer
 
     cfg = _flagship_cfg()
-    if args.num_classes != 2 or args.context_in_time:
-        cfg = replace(cfg, unet=replace(
-            cfg.unet, context_dim=args.num_classes - 1,
-            context_in_time=args.context_in_time))
+    # always size the embedding from --num_classes (the flagship cfg
+    # defaults to the 4-class corpus; a 2-class checkpoint needs 1)
+    cfg = replace(cfg, unet=replace(
+        cfg.unet, context_dim=args.num_classes - 1,
+        context_in_time=args.context_in_time))
     trainer = DiffusionTrainer(cfg, TrainConfig(batch_size=args.batch),
                                conditional=True)
     state = trainer.init_state(jax.random.PRNGKey(0), (1, 128, 128, 128, 1))

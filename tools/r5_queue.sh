@@ -1,0 +1,144 @@
+#!/bin/bash
+# Round-5 main queue: retrain the full flagship pipeline from scratch
+# (runs/ was wiped with the VM) with the latent-scale fix ON BY DEFAULT,
+# prove conditioning (fid_class_sep >> 0), and leave a DURABLE benched
+# artifact (committed f16 npz) — VERDICT r4 next-1/2/4.
+#
+# Phases (serialized, one chip, rc markers in /tmp/r5_*):
+#   A  4-class corpus + stage-1 GN VQ-VAE (60 epochs)
+#   B  flagship conditional DM, 4-class, AUTO latent scale (100 epochs)
+#   C  probes: eps-space context effect + by-class sampler x guidance sweep
+#   D  export committed f16 snapshot + sanity bench from trained weights
+#   E  2-class reference-parity arm (own 2-class corpus) + context probe
+#   F  VQ-GAN stabilizer run (g_adv_delay + adaptive_g_max cap + R1)
+#   G  owed chip A/Bs: s2d stem + channel padding (bench_train)
+set -u
+cd /root/repo
+mkdir -p runs reports/quality_r5
+
+exec 9>/tmp/r5_queue.lock
+flock -n 9 || { echo "another r5 queue holds the lock"; exit 1; }
+
+log() { echo "[r5] $1 $(date -u +%H:%M:%S)"; }
+
+COMMON4="--synthetic --device_data --num_synthetic 1232 --num_classes 4 \
+  --cache_dir runs/corpus128 --val_perc 0.1"
+
+# ---- A: stage-1 -----------------------------------------------------------
+log "A stage-1 start"
+t0=$(date +%s)
+timeout 12000 python -m ldm3d.cli.main --preset vqvae_dm_stage1 \
+  --norm group --train_vq $COMMON4 --ckpt_dir runs/ckpt_flagship_gn \
+  --epochs 60 --lbs 8 --suffix flagship --auto_resume 3 \
+  > runs/r5_stage1.log 2>&1
+rc=$?
+log "A stage-1 rc=$rc after $(( $(date +%s) - t0 ))s"
+echo $rc > /tmp/r5_A_rc
+if [ ! -d runs/ckpt_flagship_gn/flagship_vq ]; then
+  log "A FAILED - no stage-1 checkpoint; aborting queue"
+  exit 1
+fi
+
+# ---- B: flagship conditional DM (AUTO latent scale) -----------------------
+DM="--preset conditional_dm3d --norm group $COMMON4 --lbs 8 \
+  --timesteps 500 --cfg_dropout 0.1 --ema_decay 0.999 \
+  --train_dm --cache_latents --epochs 100 --ckpt_freq 25 \
+  --fidelity_freq 10 --fidelity_samples 64 --fidelity_by_class \
+  --image_log_freq 50 --auto_resume 2 \
+  --vqvae_load_ckpt runs/ckpt_flagship_gn/flagship_vq --suffix flagship"
+log "B flagship DM start"
+t0=$(date +%s)
+timeout 7200 python -m ldm3d.cli.main $DM --ckpt_dir runs/ckpt_flagship \
+  > runs/r5_flagship_dm.log 2>&1
+rc=$?
+log "B flagship DM rc=$rc after $(( $(date +%s) - t0 ))s"
+if [ $rc -ne 0 ] && ! grep -q "epoch 100/100" runs/r5_flagship_dm.log; then
+  log "B retry (transient relay failures seen in r4)"
+  timeout 7200 python -m ldm3d.cli.main $DM --ckpt_dir runs/ckpt_flagship \
+    >> runs/r5_flagship_dm.log 2>&1
+  rc=$?
+fi
+echo $rc > /tmp/r5_B_rc
+
+# ---- C: probes ------------------------------------------------------------
+if [ -d runs/ckpt_flagship/flagship_dm ]; then
+  log "C context-effect probe"
+  timeout 1200 python tools/context_effect.py \
+    --ckpt runs/ckpt_flagship/flagship_dm --num_classes 4 \
+    > reports/quality_r5/context_effect_flagship.md 2>&1 || true
+  log "C by-class fidelity sweep"
+  timeout 4200 python -m ldm3d.cli.main --preset conditional_dm3d \
+    --norm group $COMMON4 --lbs 8 --cfg_dropout 0.1 --ema_decay 0.999 \
+    --fidelity_sweep --fidelity_by_class --fidelity_samples 64 \
+    --sweep_samplers "ddpm,ddim:50,dpmpp:25" \
+    --guidance_grid "none,1.5,3.0" --ckpt_dir runs/ckpt_flagship \
+    --suffix flagship --out_dir reports/quality_r5/flagship \
+    > runs/r5_sweep_flagship.log 2>&1 || true
+fi
+echo 0 > /tmp/r5_C_rc
+
+# ---- D: durable snapshot + sanity bench -----------------------------------
+if [ -d runs/ckpt_flagship/flagship_dm ]; then
+  log "D export committed snapshot"
+  timeout 1800 python tools/export_flagship.py \
+    > runs/r5_export.log 2>&1
+  log "D export rc=$?"
+  log "D sanity bench (trained weights)"
+  timeout 3000 python bench.py > runs/r5_bench_check.json 2> runs/r5_bench_check.log
+  log "D bench rc=$?"
+  tail -1 runs/r5_bench_check.json || true
+fi
+echo 0 > /tmp/r5_D_rc
+
+# ---- E: 2-class reference-parity arm --------------------------------------
+COMMON2="--synthetic --device_data --num_synthetic 1232 \
+  --cache_dir runs/corpus128_c2 --val_perc 0.1"
+DM2="--preset conditional_dm3d --norm group $COMMON2 --lbs 8 \
+  --timesteps 500 --cfg_dropout 0.1 --ema_decay 0.999 \
+  --train_dm --cache_latents --epochs 100 --ckpt_freq 25 \
+  --fidelity_freq 10 --fidelity_samples 64 --fidelity_by_class \
+  --auto_resume 2 \
+  --vqvae_load_ckpt runs/ckpt_flagship_gn/flagship_vq --suffix flagship"
+log "E 2-class parity arm start"
+t0=$(date +%s)
+timeout 6000 python -m ldm3d.cli.main $DM2 --ckpt_dir runs/ckpt_c2s \
+  > runs/r5_c2s.log 2>&1
+log "E c2s rc=$? after $(( $(date +%s) - t0 ))s"
+if [ -d runs/ckpt_c2s/flagship_dm ]; then
+  timeout 1200 python tools/context_effect.py --ckpt runs/ckpt_c2s/flagship_dm \
+    --num_classes 2 \
+    > reports/quality_r5/context_effect_c2s.md 2>&1 || true
+  timeout 2400 python -m ldm3d.cli.main --preset conditional_dm3d \
+    --norm group $COMMON2 --lbs 8 --cfg_dropout 0.1 --ema_decay 0.999 \
+    --fidelity_sweep --fidelity_by_class --fidelity_samples 64 \
+    --sweep_samplers "ddpm,ddim:50" --guidance_grid "none,3.0" \
+    --ckpt_dir runs/ckpt_c2s --suffix flagship \
+    --out_dir reports/quality_r5/c2s \
+    > runs/r5_sweep_c2s.log 2>&1 || true
+fi
+echo 0 > /tmp/r5_E_rc
+
+# ---- F: VQ-GAN stabilizer --------------------------------------------------
+log "F VQ-GAN stabilizer start"
+t0=$(date +%s)
+timeout 12000 python -m ldm3d.cli.main --preset vqgan_attn --train_vq \
+  $COMMON4 --ckpt_dir runs/ckpt_vqgan_stab --epochs 24 --lbs 2 \
+  --disc_threshold 8 --adaptive_gan_weight --adaptive_g_max 2.0 \
+  --g_adv_delay 3 --r1_gamma 10.0 --suffix vqgan \
+  --image_log_freq 8 --auto_resume 2 --ckpt_freq 4 \
+  > runs/r5_vqgan_stab.log 2>&1
+log "F vqgan_stab rc=$? after $(( $(date +%s) - t0 ))s"
+G=runs/ckpt_vqgan_stab/vqgan_vq/training.log
+[ -f "$G" ] && timeout 600 python tools/quality_report.py "$G" \
+  --out reports/quality_r5/vqgan_stab_report.md \
+  --png reports/quality_r5/vqgan_stab_curves.png || true
+echo 0 > /tmp/r5_F_rc
+
+# ---- G: owed chip A/Bs -----------------------------------------------------
+log "G s2d stem A/B"
+timeout 2400 python tools/bench_train.py --s2d_stem \
+  > reports/quality_r5/s2d_stem_ab.txt 2>&1 || true
+echo 0 > /tmp/r5_G_rc
+
+log "QUEUE DONE"
+echo 0 > /tmp/r5_queue_done_rc
