@@ -79,7 +79,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--norm", default=None, choices=["batch", "group"],
                    help="override the autoencoder normalization family "
                         "(stage-1 and the DM's frozen stage-1 alike)")
-    p.add_argument("--resume_ckpt", type=int, default=None)
+    p.add_argument("--resume_ckpt", type=int, default=None,
+                   help="resume from this checkpoint epoch; -1 resumes the "
+                        "latest if one exists and starts fresh otherwise "
+                        "(idempotent relaunch for the stall watchdog)")
     p.add_argument("--test_run", action="store_true")
     p.add_argument("--vqvae_mode", type=int, default=None, choices=[1, 2],
                    help="train the legacy functional VQ-VAE instead of the "
@@ -148,6 +151,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="min-SNR-gamma loss weighting for --train_dm "
                         "(Hang et al. 2023); unset = uniform reference "
                         "weighting")
+    p.add_argument("--loss_reduction", default=None,
+                   choices=["mean", "ref"],
+                   help="DM gradient-loss normalization: mean (default; "
+                        "mean-MSE, same gradient direction) or ref (the "
+                        "reference's SUM-MSE/(bs*lc^4), dm3d.py:456-459 — "
+                        "floors Adam's epsilon at lc=256, kept for "
+                        "bit-parity replication). The logged 'loss' is "
+                        "always reference-scaled either way")
     p.add_argument("--cfg_dropout", type=float, default=None,
                    help="context-drop probability during --train_dm; > 0 "
                         "trains the null token classifier-free guidance "
@@ -328,6 +339,8 @@ def apply_overrides(cfg, args):
         diff = replace(diff, min_snr_gamma=args.min_snr_gamma)
     if getattr(args, "latent_scale", None) is not None:
         diff = replace(diff, latent_scale=args.latent_scale)
+    if getattr(args, "loss_reduction", None) is not None:
+        diff = replace(diff, loss_reduction=args.loss_reduction)
     if getattr(args, "clip_sample_range", None) is not None:
         diff = replace(diff, clip_sample_range=args.clip_sample_range)
     cfg = replace(cfg, diffusion=diff)
@@ -408,6 +421,29 @@ def _ckpt_dir(cfg, stage: str) -> str:
     return os.path.join(cfg.ckpt_dir, f"{cfg.name}_{stage}")
 
 
+def _maybe_resume(ckpt, state, resume_ckpt):
+    """Restore per --resume_ckpt: None = fresh start, N >= 0 = exact epoch
+    (error if missing), -1 = latest-if-present. The -1 form makes a relaunch
+    of the *same* command idempotent, which is what the external stall
+    watchdog (tools/with_watchdog.sh) relies on: TPU-relay hangs block
+    inside a device call and never raise, so in-process recovery
+    (loop.fit_with_recovery) can't see them — the process must be killed
+    and relaunched, and the relaunch must resume where the checkpoints
+    left off (or start fresh on the very first attempt)."""
+    import jax
+    if resume_ckpt is None:
+        return state, 0
+    try:
+        state, epoch = ckpt.restore(jax.device_get(state),
+                                    None if resume_ckpt < 0 else resume_ckpt)
+        print(f"resumed from epoch {epoch}")
+        return state, epoch
+    except FileNotFoundError:
+        if resume_ckpt >= 0:
+            raise
+        return state, 0
+
+
 def run_train_vq(cfg, args):
     import jax
     from ldm3d.parallel.mesh import make_mesh
@@ -439,11 +475,7 @@ def run_train_vq(cfg, args):
     ckpt = CheckpointManager(_ckpt_dir(cfg, "vq"),
                              keep=cfg.train.keep_checkpoints,
                              save_best_only=args.save_best_only)
-    initial_epoch = 0
-    if args.resume_ckpt is not None:
-        state, initial_epoch = ckpt.restore(jax.device_get(state),
-                                            args.resume_ckpt)
-        print(f"resumed from epoch {initial_epoch}")
+    state, initial_epoch = _maybe_resume(ckpt, state, args.resume_ckpt)
 
     logdir = _ckpt_dir(cfg, "vq")
     image_logger = None
@@ -631,10 +663,7 @@ def run_train_dm(cfg, args):
 
     ckpt = CheckpointManager(_ckpt_dir(cfg, "dm"),
                              keep=cfg.train.keep_checkpoints)
-    initial_epoch = 0
-    if args.resume_ckpt is not None:
-        state, initial_epoch = ckpt.restore(jax.device_get(state),
-                                            args.resume_ckpt)
+    state, initial_epoch = _maybe_resume(ckpt, state, args.resume_ckpt)
 
     def step_fn(state, batch):
         vol, mask, ctx = batch

@@ -222,6 +222,23 @@ class DiffusionConfig:
     # timestep weight at SNR=gamma so easy high-SNR steps don't dominate;
     # None disables (reference behavior)
     min_snr_gamma: Optional[float] = None
+    # Loss normalization for the gradient:
+    #   "mean": mean over all error elements (default). The gradient
+    #       DIRECTION is identical to the reference's; only the scale
+    #       differs, and Adam normalizes scale — except through epsilon.
+    #   "ref":  the reference's SUM-MSE / (global_bs * lc^4)
+    #       (dm3d.py:456-459, conditional_dm3d.py:496-499 with lc=256).
+    #       At the flagship shape this divides the mean loss by 32768,
+    #       pushing typical per-parameter gradients to ~1e-8-1e-9 — AT or
+    #       BELOW Adam's epsilon (optax 1e-8; Keras 1e-7 upstream) — so
+    #       the effective step size collapses 10-100x. The reference
+    #       never noticed because its raw std-0.05 latents make
+    #       eps-prediction nearly the identity; with unit-variance
+    #       latents (latent_scale fix) the real denoising task exposes
+    #       it. Kept for bit-parity replication only.
+    # The logged "loss" metric is ALWAYS reference-scaled so training.log
+    # curves stay comparable across the two settings.
+    loss_reduction: str = "mean"
     # beyond-reference sampling-space controls. Both are train-time
     # invariants of a checkpoint — restore with the same values.
     # latent_scale multiplies the frozen encoder's latents before

@@ -220,14 +220,20 @@ class DiffusionTrainer:
                                            self.cfg.min_snr_gamma,
                                            self.cfg.prediction_type)
             lc = float(self.cfg.latent_channels)
-            # reference SUM-MSE / (global_bs * lc^4) (dm3d.py:456-459)
-            loss = jnp.sum(err) / (global_bs * lc ** 4)
-            return loss, (jnp.mean(err), updates)
+            # "loss" metric: reference SUM-MSE / (global_bs * lc^4)
+            # (dm3d.py:456-459) — always logged in this scale for curve
+            # parity. The GRADIENT loss defaults to mean-MSE: the ref
+            # scaling floors Adam's epsilon (see DiffusionConfig.
+            # loss_reduction) and is only used under loss_reduction="ref".
+            ref_loss = jnp.sum(err) / (global_bs * lc ** 4)
+            mse = jnp.mean(err)
+            loss = ref_loss if self.cfg.loss_reduction == "ref" else mse
+            return loss, (ref_loss, mse, updates)
 
         def step(state: TrainState, images, context):
             rng, step_rng = jax.random.split(state.rng)
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-            (loss, (mse, var_updates)), grads = grad_fn(
+            (_, (loss, mse, var_updates)), grads = grad_fn(
                 state.params["unet"], state, images, context, step_rng)
             updates, opt_state = self.tx.update(grads, state.opt_state,
                                                 state.params["unet"])

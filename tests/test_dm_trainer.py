@@ -370,3 +370,52 @@ def test_fused_latent_loader_yields_epoch_perm():
     seq = LatentLoader(lat, ctx, batch_size=2, seed=3)
     seen = np.concatenate([np.asarray(cb) for _, cb in seq])
     np.testing.assert_array_equal(flat, seen)
+
+
+def test_loss_reduction_mean_vs_ref():
+    """loss_reduction="mean" (default) must (a) log the SAME reference-
+    scaled "loss" metric as loss_reduction="ref" (curve parity,
+    dm3d.py:456-459) and (b) take LARGER parameter updates when the ref
+    scaling floors Adam's epsilon. The floor is ratio-driven: ref loss =
+    mean-MSE * (latent_size/lc)^3, so lc=256 at latent_size 4 divides
+    every gradient by 262144, pushing |g| to ~1e-9-1e-10 — below optax
+    Adam's eps=1e-8 — and even the step-1 update g/(|g|+eps) collapses.
+    At lc=8 (the other tiny tests) the ratio is only 1/8 and the two
+    modes step identically (Adam is scale-invariant above the floor) —
+    which is exactly why r1-r4 never caught this at flagship lc=256."""
+    import dataclasses
+
+    vq = VQVAEConfig(
+        in_channels=1, out_channels=1,
+        num_channels=(4, 256), num_res_channels=(4, 256), num_res_layers=1,
+        downsample_stride=(2, 2), downsample_kernel=(4, 4),
+        upsample_stride=(2, 2), upsample_kernel=(4, 4),
+        quantizer=QuantizerConfig(kind="ste", num_embeddings=16,
+                                  embedding_dim=256))
+    unet = UNetConfig(widths=(8, 16), has_attention=(False, True),
+                      num_res_blocks=1, first_conv_channels=8,
+                      attention_impl="xla")
+    cfg_mean = DiffusionConfig(timesteps=5, latent_size=4,
+                               latent_channels=256, unet=unet, vqvae=vq)
+    assert cfg_mean.loss_reduction == "mean"  # the default
+    cfg_ref = dataclasses.replace(cfg_mean, loss_reduction="ref")
+    lat = jax.random.normal(jax.random.PRNGKey(7), (2, 4, 4, 4, 256))
+
+    results = {}
+    for name, cfg in [("mean", cfg_mean), ("ref", cfg_ref)]:
+        trainer = DiffusionTrainer(cfg, train_cfg())
+        state = trainer.init_state(jax.random.PRNGKey(0), (2, 16, 16, 16, 1))
+        before = jax.tree_util.tree_map(np.asarray, state.params["unet"])
+        state, metrics = trainer.train_step_latents(state, lat)
+        deltas = jax.tree_util.tree_map(
+            lambda a, b: np.abs(np.asarray(a) - b).ravel(),
+            state.params["unet"], before)
+        alld = np.concatenate(jax.tree_util.tree_leaves(deltas))
+        results[name] = (float(metrics["loss"]), float(alld.mean()))
+
+    # (a) identical logged loss (same rng path, same forward)
+    np.testing.assert_allclose(results["mean"][0], results["ref"][0],
+                               rtol=1e-5)
+    # (b) mean mode takes a full-size Adam step (mean |update| ~ lr);
+    # ref mode's updates are eps-floored far below it
+    assert results["mean"][1] > 3.0 * results["ref"][1], results

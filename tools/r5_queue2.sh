@@ -1,17 +1,12 @@
 #!/bin/bash
-# Round-5 main queue: retrain the full flagship pipeline from scratch
-# (runs/ was wiped with the VM) with the latent-scale fix ON BY DEFAULT,
-# prove conditioning (fid_class_sep >> 0), and leave a DURABLE benched
-# artifact (committed f16 npz) — VERDICT r4 next-1/2/4.
-#
-# Phases (serialized, one chip, rc markers in /tmp/r5_*):
-#   A  4-class corpus + stage-1 GN VQ-VAE (60 epochs)
-#   B  flagship conditional DM, 4-class, AUTO latent scale (100 epochs)
-#   C  probes: eps-space context effect + by-class sampler x guidance sweep
-#   D  export committed f16 snapshot + sanity bench from trained weights
-#   E  2-class reference-parity arm (own 2-class corpus) + context probe
-#   F  VQ-GAN stabilizer run (g_adv_delay + adaptive_g_max cap + R1)
-#   G  owed chip A/Bs: s2d stem + channel padding (bench_train)
+# Round-5 queue, take 2. Take 1 (tools/r5_queue.sh) found the SECOND root
+# cause of inert conditioning: the reference's SUM-MSE/(bs*lc^4) loss
+# (dm3d.py:456-459) floors Adam's epsilon once latents are unit-variance,
+# so the 100-epoch flagship retrain crawled (noise_mse 0.996->0.89,
+# fid_class_sep ~ 0). loss_reduction="mean" is now the default; this
+# queue finishes stage-1 (killed at epoch 30/60 by a relay stall) and
+# redoes phases B-G with the fix. Runs under tools/with_watchdog.sh:
+# relay hangs are killed + resumed via --resume_ckpt -1.
 set -u
 cd /root/repo
 mkdir -p runs reports/quality_r5
@@ -19,55 +14,52 @@ mkdir -p runs reports/quality_r5
 exec 9>/tmp/r5_queue.lock
 flock -n 9 || { echo "another r5 queue holds the lock"; exit 1; }
 
-log() { echo "[r5] $1 $(date -u +%H:%M:%S)"; }
+log() { echo "[r5q2] $1 $(date -u +%H:%M:%S)"; }
+WD="bash tools/with_watchdog.sh 900"
 
 COMMON4="--synthetic --device_data --num_synthetic 1232 --num_classes 4 \
   --cache_dir runs/corpus128 --val_perc 0.1"
 
-# ---- A: stage-1 -----------------------------------------------------------
-log "A stage-1 start"
+# ---- A': finish stage-1 (resume from epoch 30) -----------------------------
+log "A' stage-1 resume"
 t0=$(date +%s)
-timeout 12000 python -m ldm3d.cli.main --preset vqvae_dm_stage1 \
-  --norm group --train_vq $COMMON4 --ckpt_dir runs/ckpt_flagship_gn \
-  --epochs 60 --lbs 8 --suffix flagship --auto_resume 3 \
-  > runs/r5_stage1.log 2>&1
+$WD 7200 runs/r5_stage1.log python -m ldm3d.cli.main \
+  --preset vqvae_dm_stage1 --norm group --train_vq $COMMON4 \
+  --ckpt_dir runs/ckpt_flagship_gn --epochs 60 --lbs 8 --suffix flagship \
+  --resume_ckpt -1 --auto_resume 3
 rc=$?
-log "A stage-1 rc=$rc after $(( $(date +%s) - t0 ))s"
+log "A' stage-1 rc=$rc after $(( $(date +%s) - t0 ))s"
 echo $rc > /tmp/r5_A_rc
 if [ ! -d runs/ckpt_flagship_gn/flagship_vq ]; then
-  log "A FAILED - no stage-1 checkpoint; aborting queue"
+  log "A' FAILED - no stage-1 checkpoint; aborting queue"
   exit 1
 fi
 
-# ---- B: flagship conditional DM (AUTO latent scale) -----------------------
+# ---- B: flagship conditional DM (mean loss + AUTO latent scale) ------------
+# take-1's ckpt dir holds the crawling-run checkpoints — start clean
+rm -rf runs/ckpt_flagship
 DM="--preset conditional_dm3d --norm group $COMMON4 --lbs 8 \
   --timesteps 500 --cfg_dropout 0.1 --ema_decay 0.999 \
-  --train_dm --cache_latents --epochs 100 --ckpt_freq 25 \
-  --fidelity_freq 10 --fidelity_samples 64 --fidelity_by_class \
-  --image_log_freq 50 --auto_resume 2 \
+  --train_dm --cache_latents --epochs 400 --ckpt_freq 50 \
+  --fidelity_freq 20 --fidelity_samples 64 --fidelity_by_class \
+  --image_log_freq 100 --auto_resume 2 --resume_ckpt -1 \
   --vqvae_load_ckpt runs/ckpt_flagship_gn/flagship_vq --suffix flagship"
 log "B flagship DM start"
 t0=$(date +%s)
-timeout 7200 python -m ldm3d.cli.main $DM --ckpt_dir runs/ckpt_flagship \
-  > runs/r5_flagship_dm.log 2>&1
+$WD 7200 runs/r5_flagship_dm2.log python -m ldm3d.cli.main $DM \
+  --ckpt_dir runs/ckpt_flagship
 rc=$?
 log "B flagship DM rc=$rc after $(( $(date +%s) - t0 ))s"
-if [ $rc -ne 0 ] && ! grep -q "epoch 100/100" runs/r5_flagship_dm.log; then
-  log "B retry (transient relay failures seen in r4)"
-  timeout 7200 python -m ldm3d.cli.main $DM --ckpt_dir runs/ckpt_flagship \
-    >> runs/r5_flagship_dm.log 2>&1
-  rc=$?
-fi
 echo $rc > /tmp/r5_B_rc
 
 # ---- C: probes ------------------------------------------------------------
 if [ -d runs/ckpt_flagship/flagship_dm ]; then
   log "C context-effect probe"
-  timeout 1200 python tools/context_effect.py \
+  timeout 1800 python tools/context_effect.py \
     --ckpt runs/ckpt_flagship/flagship_dm --num_classes 4 \
     > reports/quality_r5/context_effect_flagship.md 2>&1 || true
   log "C by-class fidelity sweep"
-  timeout 4200 python -m ldm3d.cli.main --preset conditional_dm3d \
+  timeout 4800 python -m ldm3d.cli.main --preset conditional_dm3d \
     --norm group $COMMON4 --lbs 8 --cfg_dropout 0.1 --ema_decay 0.999 \
     --fidelity_sweep --fidelity_by_class --fidelity_samples 64 \
     --sweep_samplers "ddpm,ddim:50,dpmpp:25" \
@@ -80,11 +72,11 @@ echo 0 > /tmp/r5_C_rc
 # ---- D: durable snapshot + sanity bench -----------------------------------
 if [ -d runs/ckpt_flagship/flagship_dm ]; then
   log "D export committed snapshot"
-  timeout 1800 python tools/export_flagship.py \
-    > runs/r5_export.log 2>&1
+  timeout 1800 python tools/export_flagship.py > runs/r5_export.log 2>&1
   log "D export rc=$?"
   log "D sanity bench (trained weights)"
-  timeout 3000 python bench.py > runs/r5_bench_check.json 2> runs/r5_bench_check.log
+  timeout 3000 python bench.py > runs/r5_bench_check.json \
+    2> runs/r5_bench_check.log
   log "D bench rc=$?"
   tail -1 runs/r5_bench_check.json || true
 fi
@@ -95,17 +87,18 @@ COMMON2="--synthetic --device_data --num_synthetic 1232 \
   --cache_dir runs/corpus128_c2 --val_perc 0.1"
 DM2="--preset conditional_dm3d --norm group $COMMON2 --lbs 8 \
   --timesteps 500 --cfg_dropout 0.1 --ema_decay 0.999 \
-  --train_dm --cache_latents --epochs 100 --ckpt_freq 25 \
-  --fidelity_freq 10 --fidelity_samples 64 --fidelity_by_class \
-  --auto_resume 2 \
+  --train_dm --cache_latents --epochs 400 --ckpt_freq 50 \
+  --fidelity_freq 20 --fidelity_samples 64 --fidelity_by_class \
+  --auto_resume 2 --resume_ckpt -1 \
   --vqvae_load_ckpt runs/ckpt_flagship_gn/flagship_vq --suffix flagship"
 log "E 2-class parity arm start"
 t0=$(date +%s)
-timeout 6000 python -m ldm3d.cli.main $DM2 --ckpt_dir runs/ckpt_c2s \
-  > runs/r5_c2s.log 2>&1
+rm -rf runs/ckpt_c2s
+$WD 6000 runs/r5_c2s.log python -m ldm3d.cli.main $DM2 \
+  --ckpt_dir runs/ckpt_c2s
 log "E c2s rc=$? after $(( $(date +%s) - t0 ))s"
 if [ -d runs/ckpt_c2s/flagship_dm ]; then
-  timeout 1200 python tools/context_effect.py --ckpt runs/ckpt_c2s/flagship_dm \
+  timeout 1800 python tools/context_effect.py --ckpt runs/ckpt_c2s/flagship_dm \
     --num_classes 2 \
     > reports/quality_r5/context_effect_c2s.md 2>&1 || true
   timeout 2400 python -m ldm3d.cli.main --preset conditional_dm3d \
@@ -121,12 +114,12 @@ echo 0 > /tmp/r5_E_rc
 # ---- F: VQ-GAN stabilizer --------------------------------------------------
 log "F VQ-GAN stabilizer start"
 t0=$(date +%s)
-timeout 12000 python -m ldm3d.cli.main --preset vqgan_attn --train_vq \
-  $COMMON4 --ckpt_dir runs/ckpt_vqgan_stab --epochs 24 --lbs 2 \
+$WD 12000 runs/r5_vqgan_stab.log python -m ldm3d.cli.main \
+  --preset vqgan_attn --train_vq $COMMON4 \
+  --ckpt_dir runs/ckpt_vqgan_stab --epochs 24 --lbs 2 \
   --disc_threshold 8 --adaptive_gan_weight --adaptive_g_max 2.0 \
   --g_adv_delay 3 --r1_gamma 10.0 --suffix vqgan \
-  --image_log_freq 8 --auto_resume 2 --ckpt_freq 4 \
-  > runs/r5_vqgan_stab.log 2>&1
+  --image_log_freq 8 --auto_resume 2 --resume_ckpt -1 --ckpt_freq 4
 log "F vqgan_stab rc=$? after $(( $(date +%s) - t0 ))s"
 G=runs/ckpt_vqgan_stab/vqgan_vq/training.log
 [ -f "$G" ] && timeout 600 python tools/quality_report.py "$G" \
@@ -138,6 +131,9 @@ echo 0 > /tmp/r5_F_rc
 log "G s2d stem A/B"
 timeout 2400 python tools/bench_train.py --s2d_stem \
   > reports/quality_r5/s2d_stem_ab.txt 2>&1 || true
+log "G channel-padding A/B"
+timeout 2400 python tools/bench_train.py --pad_channels \
+  > reports/quality_r5/pad_channels_ab.txt 2>&1 || true
 echo 0 > /tmp/r5_G_rc
 
 log "QUEUE DONE"
