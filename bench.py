@@ -102,6 +102,16 @@ def _apply_meta(cfg, meta):
         # the flagship corpus is 4-class (context token 0..3 + null row);
         # the embedding-table shape must match the checkpoint's
         unet = replace(unet, context_dim=int(meta["context_dim"]))
+    # denoiser shape must rebuild the checkpoint's parameter tree (the
+    # round-5 flagship widened the stem past the 256-ch latent)
+    if "unet_stem" in meta:
+        unet = replace(unet, first_conv_channels=int(meta["unet_stem"]))
+    if "unet_widths" in meta:
+        unet = replace(unet, widths=tuple(int(w)
+                                          for w in meta["unet_widths"]))
+    if "unet_attention" in meta:
+        unet = replace(unet, has_attention=tuple(
+            bool(v) for v in meta["unet_attention"]))
     return replace(diff, unet=unet)
 
 

@@ -181,6 +181,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference lacks); 0 disables")
     p.add_argument("--fidelity_samples", type=int, default=64,
                    help="generated samples per fidelity eval")
+    p.add_argument("--unet_stem", type=int, default=None,
+                   help="denoiser stem width (first_conv_channels). The "
+                        "reference's 32-ch stem on a 256-ch latent floors "
+                        "eps-MSE at ~0.875 (see presets._dm); keep stem >= "
+                        "latent channels unless reproducing the reference")
+    p.add_argument("--unet_widths", type=str, default=None,
+                   help="comma list of denoiser level widths, e.g. "
+                        "'256,512'; attention flags keep their preset "
+                        "value when the level count matches, else "
+                        "default to attention on the deepest level only")
+    p.add_argument("--unet_attention", type=str, default=None,
+                   help="comma list of 0/1 per level (middle always "
+                        "attends), e.g. '0,1,1'")
     p.add_argument("--latent_scale", type=float, default=None,
                    help="SD-style scale_factor: multiply the frozen "
                         "encoder's latents before diffusion, divide "
@@ -326,6 +339,21 @@ def apply_overrides(cfg, args):
     diff = cfg.diffusion
     if args.norm is not None:
         diff = replace(diff, vqvae=replace(diff.vqvae, norm=args.norm))
+    if getattr(args, "unet_stem", None) is not None:
+        diff = replace(diff, unet=replace(diff.unet,
+                                          first_conv_channels=args.unet_stem))
+    if getattr(args, "unet_widths", None) is not None:
+        widths = tuple(int(w) for w in args.unet_widths.split(","))
+        attn = diff.unet.has_attention
+        if len(attn) != len(widths) + 1:
+            # level count changed: attention on the deepest level + middle
+            attn = (False,) * (len(widths) - 1) + (True, True)
+        diff = replace(diff, unet=replace(diff.unet, widths=widths,
+                                          has_attention=attn))
+    if getattr(args, "unet_attention", None) is not None:
+        attn = tuple(bool(int(v))
+                     for v in args.unet_attention.split(",")) + (True,)
+        diff = replace(diff, unet=replace(diff.unet, has_attention=attn))
     if args.timesteps is not None:
         diff = replace(diff, timesteps=args.timesteps)
     if getattr(args, "cfg_dropout", None) is not None:
@@ -614,6 +642,17 @@ def _adopt_dm_meta(cfg, args):
             and meta["context_dim"] != unet.context_dim):
         unet = replace(unet, context_dim=int(meta["context_dim"]))
         adopted.append(f"context_dim={meta['context_dim']}")
+    if getattr(args, "unet_stem", None) is None and "unet_stem" in meta:
+        unet = replace(unet, first_conv_channels=int(meta["unet_stem"]))
+    if getattr(args, "unet_widths", None) is None and "unet_widths" in meta:
+        unet = replace(unet, widths=tuple(int(w)
+                                          for w in meta["unet_widths"]))
+        adopted.append("unet_widths=" + ",".join(
+            str(w) for w in meta["unet_widths"]))
+    if (getattr(args, "unet_attention", None) is None
+            and "unet_attention" in meta):
+        unet = replace(unet, has_attention=tuple(
+            bool(v) for v in meta["unet_attention"]))
     if getattr(args, "ema_decay", None) is None and "ema_decay" in meta:
         train = replace(train, ema_decay=float(meta["ema_decay"]))
         if meta["ema_decay"]:
@@ -813,7 +852,13 @@ def run_train_dm(cfg, args):
              "context_in_time": cfg.diffusion.unet.context_in_time,
              "cfg_dropout": cfg.diffusion.unet.cfg_dropout,
              "context_dim": cfg.diffusion.unet.context_dim,
-             "ema_decay": float(cfg.train.ema_decay)}
+             "ema_decay": float(cfg.train.ema_decay),
+             # denoiser shape: restores must rebuild the same parameter
+             # tree (the stem/width recipe changed in round 5 when the
+             # reference's 32-ch stem proved an information bottleneck)
+             "unet_stem": cfg.diffusion.unet.first_conv_channels,
+             "unet_widths": list(cfg.diffusion.unet.widths),
+             "unet_attention": list(cfg.diffusion.unet.has_attention)}
     with open(os.path.join(logdir, "train_meta.json"), "w") as f:
         _json.dump(_meta, f, indent=1)
 

@@ -224,10 +224,25 @@ def _vqgan_stride() -> ExperimentConfig:
 
 
 def _dm(conditional: bool, timesteps: int) -> ExperimentConfig:
+    # U-Net width: the reference's conditional stem is 32 channels on a
+    # 256-channel latent (conditional_dm3d.py:321 + main.py:377-383 D=256).
+    # That is an information bottleneck, not a style choice: every skip
+    # descends from the stem, so the head can recover at most
+    # stem/latent_channels of the injected eps — measured as a hard
+    # eps-MSE floor of ~224/256 = 0.875 at EVERY t on unit-variance
+    # latents (tools/r5_diag.py: overfitting 8 latents plateaus at 0.89
+    # for stem 32 regardless of norm or lr; a stem-256 net reaches the
+    # sub-0.2 regime). Standard latent-diffusion practice keeps stem >>
+    # latent channels (e.g. 320 vs 4 in Stable Diffusion). The working
+    # recipe therefore widens the denoiser; pass
+    # --unet_stem 32 --unet_widths 64,128,256 to reproduce the
+    # reference's (information-bottlenecked) hyperparameters exactly.
     unet = UNetConfig(
-        widths=(64, 128, 256), has_attention=(False, False, True, True),
+        widths=(256, 512) if conditional else (64, 128, 256),
+        has_attention=(False, True, True) if conditional
+        else (False, False, True, True),
         num_res_blocks=2,
-        first_conv_channels=32 if conditional else 64,
+        first_conv_channels=256 if conditional else 64,
         context_dim=1 if conditional else None)
     vq = VQVAEConfig(
         remat=True, in_channels=1, out_channels=1, num_res_layers=5,

@@ -343,9 +343,14 @@ def test_fused_epoch_matches_sequential():
     state_b, m_b = tr_b.train_epoch_latents(state_b, lat, ctx, perm)
 
     assert int(state_b.step) == int(state_a.step) == 3
+    # atol 5e-7: zero-init subtrees (the head conv, first Adam moments)
+    # hold pure round-off after 3 steps — magnitudes ~5e-8 where rtol is
+    # meaningless; the two XLA programs legitimately reassociate those
+    # sums. Observed violation 1.3e-7 on XLA:CPU (r5). Signal-carrying
+    # parameters are O(1e-2..1) and still bound tightly by rtol.
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=2e-6, atol=1e-7),
+            np.asarray(a), np.asarray(b), rtol=2e-6, atol=5e-7),
         (state_a.params["unet"], state_a.opt_state, state_a.ema_params,
          state_a.rng),
         (state_b.params["unet"], state_b.opt_state, state_b.ema_params,
