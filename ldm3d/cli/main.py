@@ -783,9 +783,16 @@ def run_train_dm(cfg, args):
                   "(matches the reference's static augmented copies)")
         t0 = time.time()
         lats, ctxs = [], []
-        for vol, _mask, ctx in train_loader:
+        for i, (vol, _mask, ctx) in enumerate(train_loader):
             lats.append(trainer.encode_latents(state, vol))
             ctxs.append(jnp.asarray(ctx))
+            if (i + 1) % 32 == 0:
+                # heartbeat: this pass is minutes of device work with no
+                # other output — without it the stall watchdog
+                # (tools/with_watchdog.sh) cannot tell a slow relay encode
+                # from a hung one and kills mid-encode (seen r5 take 5)
+                print(f"cache_latents: encoded {i + 1} batches "
+                      f"[{time.time() - t0:.0f}s]", flush=True)
         from ldm3d.data.pipeline import LatentLoader
         lat_all = jnp.concatenate(lats, axis=0)
         ctx_all = jnp.concatenate(ctxs, axis=0)
