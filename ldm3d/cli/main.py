@@ -684,8 +684,8 @@ def run_train_dm(cfg, args):
                                     (cfg.train.batch_size, size, size, size,
                                      cfg.diffusion.vqvae.in_channels))
         vq_ckpt = CheckpointManager(args.vqvae_load_ckpt)
-        vq_state, ep = vq_ckpt.restore(jax.device_get(vq_state))
-        print(f"loaded stage-1 VQ-VAE weights from epoch {ep}")
+        vq_state, vq_epoch = vq_ckpt.restore(jax.device_get(vq_state))
+        print(f"loaded stage-1 VQ-VAE weights from epoch {vq_epoch}")
         # drop absent collections (GroupNorm stage-1 has no batch_stats):
         # a None subtree inside apply()'s variables crashes flax's scope
         # iteration under lifted transforms (remat)
@@ -782,20 +782,54 @@ def run_train_dm(cfg, args):
             print("cache_latents: augmentation frozen to a single draw "
                   "(matches the reference's static augmented copies)")
         t0 = time.time()
-        lats, ctxs = [], []
-        for i, (vol, _mask, ctx) in enumerate(train_loader):
-            lats.append(trainer.encode_latents(state, vol))
-            ctxs.append(jnp.asarray(ctx))
-            if (i + 1) % 32 == 0:
-                # heartbeat: this pass is minutes of device work with no
-                # other output — without it the stall watchdog
-                # (tools/with_watchdog.sh) cannot tell a slow relay encode
-                # from a hung one and kills mid-encode (seen r5 take 5)
-                print(f"cache_latents: encoded {i + 1} batches "
-                      f"[{time.time() - t0:.0f}s]", flush=True)
+        # Disk-persisted latent cache: the frozen-encoder pass is minutes
+        # of device time and is re-done from scratch on every
+        # auto-resume/watchdog relaunch (measured ~7 min per attempt on
+        # the r5 flagship — dominating recovery). The encode is
+        # deterministic in (stage-1 weights, corpus), so persist the RAW
+        # (unscaled) latents next to the corpus cache, keyed by the
+        # stage-1 epoch; any shape mismatch falls back to re-encoding.
+        import numpy as _np
+        lat_disk = None
+        if (args.vqvae_load_ckpt and not cfg.data.augment
+                and (mesh is None or mesh.devices.size == 1)):
+            os.makedirs(cfg.data.cache_dir, exist_ok=True)
+            lat_disk = os.path.join(
+                cfg.data.cache_dir,
+                f"latents_s1ep{vq_epoch}_b{cfg.train.batch_size}.npz")
+        lat_all = ctx_all = None
+        if lat_disk and os.path.exists(lat_disk):
+            try:
+                with _np.load(lat_disk) as z:
+                    lat_all = jnp.asarray(z["lat"], jnp.float32)
+                    ctx_all = jnp.asarray(z["ctx"])
+                print(f"cache_latents: loaded {lat_all.shape[0]} latents "
+                      f"from {lat_disk}", flush=True)
+            except Exception as e:  # noqa: BLE001 - corrupt cache: redo
+                print(f"cache_latents: disk cache unreadable ({e}); "
+                      f"re-encoding", flush=True)
+                lat_all = ctx_all = None
+        if lat_all is None:
+            lats, ctxs = [], []
+            for i, (vol, _mask, ctx) in enumerate(train_loader):
+                lats.append(trainer.encode_latents(state, vol))
+                ctxs.append(jnp.asarray(ctx))
+                if (i + 1) % 32 == 0:
+                    # heartbeat: minutes of device work with no other
+                    # output — without it the stall watchdog
+                    # (tools/with_watchdog.sh) cannot tell a slow relay
+                    # encode from a hung one and kills mid-encode (r5)
+                    print(f"cache_latents: encoded {i + 1} batches "
+                          f"[{time.time() - t0:.0f}s]", flush=True)
+            lat_all = jnp.concatenate(lats, axis=0)
+            ctx_all = jnp.concatenate(ctxs, axis=0)
+            if lat_disk:
+                _np.savez(lat_disk,
+                          lat=_np.asarray(jax.device_get(lat_all),
+                                          _np.float16),
+                          ctx=_np.asarray(jax.device_get(ctx_all)))
+                print(f"cache_latents: persisted to {lat_disk}", flush=True)
         from ldm3d.data.pipeline import LatentLoader
-        lat_all = jnp.concatenate(lats, axis=0)
-        ctx_all = jnp.concatenate(ctxs, axis=0)
         lat_std = float(jnp.std(lat_all.astype(jnp.float32)))
         print(f"cache_latents: {lat_all.shape[0]} latents "
               f"{tuple(lat_all.shape[1:])} resident on device "
