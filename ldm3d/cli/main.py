@@ -1183,6 +1183,13 @@ def run_create_dataset(cfg, args):
 
 
 def main(argv=None):
+    import sys
+    if hasattr(sys.stdout, "reconfigure"):
+        # Line-buffer even when stdout is a file: the external stall
+        # watchdog (tools/with_watchdog.sh) detects relay hangs by log
+        # growth, and one ~100-byte epoch line per ~2 min never fills a
+        # block buffer — a healthy run would look identical to a hang.
+        sys.stdout.reconfigure(line_buffering=True)
     args = build_parser().parse_args(argv)
     try:
         # persistent XLA compile cache: 128^3 programs take minutes to
